@@ -1,0 +1,101 @@
+"""Headline benchmark: batched lasso instances solved to 1e-6 relative gap
+per second on one chip (BASELINE.json north star; target ≥ 1e4/s).
+
+Generates a large batch of Boston-like lasso scenarios on device
+(problems/generators.py), precomputes the Gram form, solves all instances with
+the batched FISTA path, certifies convergence with the per-instance duality
+gap, and reports instances/s over the full pipeline *excluding* data
+generation but *including* the Gram precompute, Lipschitz estimation, and the
+solve itself (i.e. everything a user must run to go from (A, b, α) to
+certified solutions).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "instances/s", "vs_baseline": N/1e4}
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _build_problems(key, batch: int, m: int):
+    """Scenario batch with per-instance noise/correlations spanning the
+    reference grid, standardized columns, alpha1 = 0.1·‖Aᵀb‖∞ per instance."""
+    from fastoptsolver_tpu.problems import generate_scenario_batch
+
+    knoise, kr1, kr2, kgen = jax.random.split(key, 4)
+    noise = jax.random.choice(knoise, jnp.asarray([0.5, 1.0, 2.0, 5.0]), (batch,))
+    rho1 = jax.random.choice(kr1, jnp.asarray([0.5, 0.8]), (batch,))
+    rho2 = jax.random.choice(kr2, jnp.asarray([0.7, 0.9]), (batch,))
+    A, b, _ = generate_scenario_batch(
+        kgen, batch, m=m, noise_std=noise, rho1=rho1, rho2=rho2, dtype=jnp.float32
+    )
+    # standardize features per instance (benchmark-standard lasso setup)
+    mu = A.mean(axis=1, keepdims=True)
+    sd = A.std(axis=1, keepdims=True)
+    A = (A - mu) / sd
+    alpha1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("bmi,bm->bi", A, b)), axis=1)
+    return A, b, alpha1
+
+
+def _solve(A, b, alpha1, max_iter: int, tol: float):
+    from fastoptsolver_tpu.batch import make_gram_batch
+    from fastoptsolver_tpu.batch.fista_gram import BatchFISTAConfig, fista_gram_batch
+
+    gb = make_gram_batch(A, b, alpha1=alpha1, alpha2=0.0, power_iters=40)
+    cfg = BatchFISTAConfig(max_iter=max_iter, check_every=25, rel_gap_tol=tol)
+    return fista_gram_batch(gb, cfg)
+
+
+def main():
+    batch = int(__import__("os").environ.get("BENCH_BATCH", 16384))
+    m = 1000
+    max_iter, tol = 1000, 1e-6
+
+    key = jax.random.PRNGKey(0)
+    A, b, alpha1 = _build_problems(key, batch, m)
+    A.block_until_ready()
+
+    solve = jax.jit(lambda A, b, a1: _solve(A, b, a1, max_iter, tol))
+
+    # warmup/compile
+    res = solve(A, b, alpha1)
+    res.x.block_until_ready()
+    n_conv = int(jnp.sum(res.converged))
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = solve(A, b, alpha1)
+        res.x.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+
+    value = n_conv / dt
+    print(
+        json.dumps(
+            {
+                "metric": "batched_lasso_instances_solved_to_1e-6_rel_gap_per_s",
+                "value": round(value, 1),
+                "unit": "instances/s",
+                "vs_baseline": round(value / 1e4, 3),
+                "detail": {
+                    "batch": batch,
+                    "m": m,
+                    "converged": n_conv,
+                    "lockstep_iters": int(res.n_iters_total),
+                    "median_iters": int(np.median(np.asarray(res.iters))),
+                    "solve_s": round(dt, 4),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""fastoptsolver_tpu — a TPU-native first-order composite-optimization framework.
+
+A from-scratch JAX / XLA / Pallas framework covering the problem class of the
+reference ElBaldo1/FastOptSolver (L1 / ridge / elastic-net regularized least
+squares and smooth objectives; ISTA, FISTA with Nesterov momentum + adaptive
+restart, FISTA-Δ fixed momentum, Armijo backtracking, L-BFGS), redesigned
+TPU-first:
+
+- solvers are ``lax.while_loop`` / ``lax.scan`` fixed-points over immutable
+  state pytrees — one XLA program per solve;
+- thousands of problem instances vmap into a single compiled batch
+  (``fastoptsolver_tpu.batch``);
+- large design matrices shard row/column-wise over a ``jax.sharding.Mesh``
+  with psum-reduced distributed matvecs (``fastoptsolver_tpu.parallel``);
+- the fused batched prox-gradient solve runs as a Pallas kernel holding the
+  whole iteration state in VMEM (``fastoptsolver_tpu.kernels``);
+- L-BFGS is implemented from scratch (two-loop recursion over a curvature-pair
+  ring buffer, Wolfe line search) in pure JAX — no SciPy/Fortran.
+"""
+
+__version__ = "0.1.0"
+
+from . import ops, problems, solvers
+from .ops import (
+    soft_threshold,
+    prox_l1,
+    prox_elastic_net,
+    compute_objective,
+    estimate_lipschitz,
+)
+from .problems import (
+    LeastSquares,
+    GramLeastSquares,
+    LogisticRegression,
+    CustomProblem,
+    generate_boston_like,
+    generate_scenario_batch,
+)
+from .solvers import (
+    ISTAConfig,
+    FISTAConfig,
+    ista,
+    fista,
+    fista_with_history,
+    fista_delta_config,
+)

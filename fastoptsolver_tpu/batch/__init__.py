@@ -1,0 +1,11 @@
+from .api import stack_problems, solve_batch, batch_lipschitz
+from .fista_gram import fista_gram_batch, GramBatch, make_gram_batch
+
+__all__ = [
+    "stack_problems",
+    "solve_batch",
+    "batch_lipschitz",
+    "fista_gram_batch",
+    "GramBatch",
+    "make_gram_batch",
+]

@@ -1,0 +1,270 @@
+"""Hand-batched Gram-form FISTA: thousands of lasso instances per compiled step.
+
+This is the throughput path behind the BASELINE.json north star (≥10⁴ batched
+lasso instances solved to 1e-6 relative gap per second per chip). Design, in
+order of importance:
+
+1. **Gram precompute.** Each instance's gradient is ``Qx − c`` with
+   ``Q = AᵀA (n×n), c = Aᵀb`` — O(n²) per iteration instead of the
+   reference's two O(mn) matvecs (iterative_solvers.py:173). The precompute
+   itself is one big batched matmul (MXU); iterations never touch A again.
+
+2. **Feature-major layout.** State is stored ``(n, B)`` and Q ``(n, n, B)``:
+   the instance axis lives on TPU *lanes*, so one FISTA iteration for the
+   whole batch is n² fused multiply-adds of (B,)-wide vectors on the VPU —
+   no tiny per-instance matmuls, no layout changes. This is also exactly the
+   layout the Pallas fused kernel uses (kernels/fista_vmem.py), which keeps
+   the whole state resident in VMEM across iterations.
+
+3. **Lockstep iterations, masked convergence.** All instances advance
+   together; every ``check_every`` iterations a duality-gap check
+   (ops/gap.py) marks converged instances, whose lanes freeze. The outer
+   ``lax.while_loop`` exits when every instance is certified or ``max_iter``
+   is hit. Per-instance iteration counts are recorded for instances/s
+   accounting.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..ops.prox import soft_threshold
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GramBatch:
+    """A batch of Gram-form instances in feature-major layout."""
+
+    Q: Array  # (n, n, B)
+    c: Array  # (n, B)
+    btb: Array  # (B,)
+    alpha1: Array  # (B,)
+    alpha2: Array  # (B,)
+    L: Array  # (B,) — λ_max(AᵀA) + α₂ per instance
+
+    @property
+    def batch(self) -> int:
+        return self.Q.shape[-1]
+
+    @property
+    def dim(self) -> int:
+        return self.Q.shape[0]
+
+
+def _batched_power_L(Q: Array, v0: Array, n_iter: int, tol: float) -> Array:
+    """Per-lane power iteration on (n, n, B) Gram tensors: λ_max(Q) per
+    instance, all instances in lockstep on the VPU."""
+
+    def norm(v):
+        return jnp.sqrt(jnp.sum(v * v, axis=0))
+
+    v = v0 / jnp.maximum(norm(v0), 1e-30)
+
+    class S(NamedTuple):
+        v: Array
+        L: Array
+        prev: Array
+        k: Array
+
+    def cond(s: S):
+        return (s.k < n_iter) & jnp.any(jnp.abs(s.L - s.prev) >= tol)
+
+    def body(s: S):
+        w = jnp.einsum("ijb,jb->ib", Q, s.v)
+        L = norm(w)
+        v = w / jnp.maximum(L, 1e-30)
+        return S(v=v, L=L, prev=s.L, k=s.k + 1)
+
+    init = S(
+        v=v,
+        L=jnp.zeros(Q.shape[-1], Q.dtype),
+        prev=jnp.full(Q.shape[-1], jnp.inf, Q.dtype),
+        k=jnp.zeros((), jnp.int32),
+    )
+    return jax.lax.while_loop(cond, body, init).L
+
+
+def make_gram_batch(
+    A: Array,  # (B, m, n)
+    b: Array,  # (B, m)
+    alpha1,
+    alpha2,
+    key: Array | None = None,
+    power_iters: int = 100,
+    power_tol: float = 1e-6,
+    dtype=None,
+) -> GramBatch:
+    """Batched Gram precompute + per-instance Lipschitz estimation.
+
+    ``alpha1``/``alpha2`` may be scalars or (B,) arrays (per-instance
+    regularization sweeps vmap naturally).
+    """
+    if dtype is not None:
+        A = A.astype(dtype)
+        b = b.astype(dtype)
+    B = A.shape[0]
+    Q = jnp.einsum("bmi,bmj->ijb", A, A)
+    c = jnp.einsum("bmi,bm->ib", A, b)
+    btb = jnp.einsum("bm,bm->b", b, b)
+    a1 = jnp.broadcast_to(jnp.asarray(alpha1, A.dtype), (B,))
+    a2 = jnp.broadcast_to(jnp.asarray(alpha2, A.dtype), (B,))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    v0 = jax.random.normal(key, (A.shape[2], B), A.dtype)
+    L = _batched_power_L(Q, v0, power_iters, power_tol) + a2
+    return GramBatch(Q=Q, c=c, btb=btb, alpha1=a1, alpha2=a2, L=L)
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchFISTAConfig:
+    max_iter: int = 500
+    check_every: int = 10  # duality-gap check cadence (0 = never, run max_iter)
+    rel_gap_tol: float = 1e-6
+    t_init_factor: float = 1.0
+    momentum: str = "nesterov"  # "nesterov" | "delta"
+    delta: float = 3.0
+    adaptive_restart: bool = False
+    restart_threshold: float = 1.0
+
+    def __post_init__(self):
+        if self.momentum == "delta" and not self.delta > 2:
+            raise ValueError("FISTA-Δ requires delta > 2")
+
+
+class BatchState(NamedTuple):
+    X: Array  # (n, B)
+    Y: Array  # (n, B)
+    t: Array  # (B,)
+    prev_step: Array  # (B,)
+    done: Array  # (B,) bool
+    iters: Array  # (B,) int32 — iteration count at convergence
+    gap: Array  # (B,) last measured relative gap
+    k: Array  # scalar int32
+
+
+class BatchResult(NamedTuple):
+    x: Array  # (B, n)
+    iters: Array  # (B,)
+    rel_gap: Array  # (B,)
+    n_iters_total: Array  # scalar: lockstep iterations actually run
+    converged: Array  # (B,) bool
+
+
+def _rel_gap(gb: GramBatch, X: Array) -> Array:
+    """Batched relative duality gap (see ops/gap.py for the derivation),
+    feature-major. One extra Gram matvec per check."""
+    QX = jnp.einsum("ijb,jb->ib", gb.Q, X)
+    xQx = jnp.sum(X * QX, axis=0)
+    cx = jnp.sum(gb.c * X, axis=0)
+    xx = jnp.sum(X * X, axis=0)
+    l1 = jnp.sum(jnp.abs(X), axis=0)
+    rr = jnp.maximum(xQx - 2.0 * cx + gb.btb, 0.0)
+    rb = cx - gb.btb
+    u = QX - gb.c + gb.alpha2 * X
+    u_inf = jnp.max(jnp.abs(u), axis=0)
+    uu = jnp.sum(u * u, axis=0)
+
+    f = 0.5 * rr + 0.5 * gb.alpha2 * xx + gb.alpha1 * l1
+    s = jnp.where(u_inf > gb.alpha1, gb.alpha1 / jnp.maximum(u_inf, 1e-30), 1.0)
+    dual_neg = 0.5 * (s * s) * rr + s * rb + 0.5 * gb.alpha2 * (s * s) * xx
+    l1_gap = jnp.maximum(f + dual_neg, 0.0)
+    smooth_gap = uu / jnp.where(gb.alpha2 > 0, 2.0 * gb.alpha2, 1.0)
+    gap = jnp.where(gb.alpha1 > 0, l1_gap, smooth_gap)
+    return gap / jnp.maximum(f, 1.0)
+
+
+def _iterate_block(gb: GramBatch, cfg: BatchFISTAConfig, tau: Array, state: BatchState,
+                   n_steps: int) -> BatchState:
+    """Run ``n_steps`` lockstep FISTA iterations; converged lanes frozen."""
+
+    def one(_, s: BatchState) -> BatchState:
+        grad = jnp.einsum("ijb,jb->ib", gb.Q, s.Y) - gb.c + gb.alpha2 * s.Y
+        X_next = soft_threshold(s.Y - tau * grad, tau * gb.alpha1)
+        this_step = jnp.sqrt(jnp.sum((X_next - s.X) ** 2, axis=0))
+
+        if cfg.momentum == "delta":
+            k_ref = (s.k + 1).astype(X_next.dtype)
+            theta = k_ref / (k_ref + 1.0 + cfg.delta)
+            Y_next = X_next + theta * (X_next - s.X)
+            t_next = s.t
+        else:
+            t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * s.t**2))
+            beta = (s.t - 1.0) / t_next
+            Y_next = X_next + beta * (X_next - s.X)
+            if cfg.adaptive_restart:
+                ratio = jnp.where(
+                    s.prev_step > 0.0,
+                    this_step / jnp.maximum(s.prev_step, 1e-30),
+                    jnp.inf,
+                )
+                restart = ratio > cfg.restart_threshold
+                t_next = jnp.where(restart, 1.0, t_next)
+                Y_next = jnp.where(restart[None, :], X_next, Y_next)
+
+        live = ~s.done
+        return BatchState(
+            X=jnp.where(live[None, :], X_next, s.X),
+            Y=jnp.where(live[None, :], Y_next, s.Y),
+            t=jnp.where(live, t_next, s.t),
+            prev_step=jnp.where(live, this_step, s.prev_step),
+            done=s.done,
+            iters=s.iters + live.astype(jnp.int32),
+            gap=s.gap,
+            k=s.k + 1,
+        )
+
+    return jax.lax.fori_loop(0, n_steps, one, state)
+
+
+def fista_gram_batch(gb: GramBatch, cfg: BatchFISTAConfig = BatchFISTAConfig()) -> BatchResult:
+    """Solve the whole batch; exits as soon as every instance is certified at
+    ``rel_gap_tol`` (or at ``max_iter``)."""
+    n, B = gb.c.shape
+    tau = (cfg.t_init_factor / gb.L).astype(gb.c.dtype)
+    state0 = BatchState(
+        X=jnp.zeros((n, B), gb.c.dtype),
+        Y=jnp.zeros((n, B), gb.c.dtype),
+        t=jnp.ones((B,), gb.c.dtype),
+        prev_step=jnp.zeros((B,), gb.c.dtype),
+        done=jnp.zeros((B,), bool),
+        iters=jnp.zeros((B,), jnp.int32),
+        gap=jnp.full((B,), jnp.inf, gb.c.dtype),
+        k=jnp.zeros((), jnp.int32),
+    )
+
+    if cfg.check_every <= 0:
+        final = _iterate_block(gb, cfg, tau, state0, cfg.max_iter)
+        gap = _rel_gap(gb, final.X)
+        return BatchResult(
+            x=final.X.T,
+            iters=final.iters,
+            rel_gap=gap,
+            n_iters_total=final.k,
+            converged=gap <= cfg.rel_gap_tol,
+        )
+
+    def cond(s: BatchState):
+        return (s.k < cfg.max_iter) & jnp.any(~s.done)
+
+    def body(s: BatchState):
+        s = _iterate_block(gb, cfg, tau, s, cfg.check_every)
+        gap = _rel_gap(gb, s.X)
+        newly_done = (~s.done) & (gap <= cfg.rel_gap_tol)
+        return s._replace(
+            done=s.done | newly_done,
+            gap=jnp.where(s.done, s.gap, gap),
+        )
+
+    final = jax.lax.while_loop(cond, body, state0)
+    return BatchResult(
+        x=final.X.T,
+        iters=final.iters,
+        rel_gap=final.gap,
+        n_iters_total=final.k,
+        converged=final.done | (final.gap <= cfg.rel_gap_tol),
+    )

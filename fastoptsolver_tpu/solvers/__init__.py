@@ -1,0 +1,27 @@
+from .common import Metrics, History, SolveResult, LineSearchConfig, ARMIJO_C
+from .ista import ISTAConfig, ista, ista_with_history
+from .fista import (
+    FISTAConfig,
+    fista,
+    fista_with_history,
+    fista_delta_config,
+    fista_step,
+    FISTAState,
+)
+
+__all__ = [
+    "Metrics",
+    "History",
+    "SolveResult",
+    "LineSearchConfig",
+    "ARMIJO_C",
+    "ISTAConfig",
+    "ista",
+    "ista_with_history",
+    "FISTAConfig",
+    "fista",
+    "fista_with_history",
+    "fista_delta_config",
+    "fista_step",
+    "FISTAState",
+]

@@ -1,0 +1,203 @@
+"""Batched-vs-single equivalence (SURVEY.md §4: 'vmapped solve of N instances
+must tolerance-match N serial solves') and the Gram-form batched fast path."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fastoptsolver_tpu.batch import (
+    stack_problems,
+    solve_batch,
+    batch_lipschitz,
+    make_gram_batch,
+    fista_gram_batch,
+)
+from fastoptsolver_tpu.batch.fista_gram import BatchFISTAConfig
+from fastoptsolver_tpu.ops import lasso_duality_gap, relative_gap
+from fastoptsolver_tpu.problems import LeastSquares, generate_boston_like
+from fastoptsolver_tpu.solvers import FISTAConfig, ISTAConfig, fista
+from oracle_np import fista_np, power_L, objective_np
+
+
+def _problems(n_inst=5, reg="lasso", a1=0.5, a2=0.0):
+    out = []
+    for s in range(n_inst):
+        A, b, _ = generate_boston_like(m=120, seed=s, noise_std=1.0, rho1=0.5, rho2=0.7)
+        A = (A - A.mean(0)) / A.std(0)
+        out.append(LeastSquares.create(A, b, reg, a1, a2, dtype=jnp.float64))
+    return out
+
+
+def test_vmapped_fista_matches_serial():
+    probs = _problems(5)
+    batchp = stack_problems(probs)
+    Ls = batch_lipschitz(batchp)
+    cfg = FISTAConfig(max_iter=80)
+    res = solve_batch(batchp, "fista", cfg, L=Ls)
+    for i, p in enumerate(probs):
+        single = fista(p, cfg, L=Ls[i])
+        np.testing.assert_allclose(
+            np.asarray(res.x[i]), np.asarray(single.x), rtol=1e-10, atol=1e-12
+        )
+        assert int(res.n_iters[i]) == int(single.n_iters)
+
+
+def test_vmapped_per_instance_stopping():
+    # different noise ⇒ different convergence speed; per-instance tol stopping
+    # must match each instance's serial run exactly
+    probs = []
+    for i, noise in enumerate([0.1, 1.0, 5.0, 10.0]):
+        A, b, _ = generate_boston_like(m=120, seed=i, noise_std=noise, rho1=0.5, rho2=0.7)
+        A = (A - A.mean(0)) / A.std(0)
+        probs.append(LeastSquares.create(A, b, "lasso", 0.5, 0.0, dtype=jnp.float64))
+    batchp = stack_problems(probs)
+    Ls = batch_lipschitz(batchp)
+    cfg = FISTAConfig(max_iter=400, tol=1e-6)
+    res = solve_batch(batchp, "fista", cfg, L=Ls)
+    iters = [int(v) for v in res.n_iters]
+    assert len(set(iters)) > 1  # genuinely different stopping points
+    for i, p in enumerate(probs):
+        single = fista(p, cfg, L=Ls[i])
+        assert iters[i] == int(single.n_iters)
+        np.testing.assert_allclose(
+            np.asarray(res.x[i]), np.asarray(single.x), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_vmapped_ista_and_history():
+    probs = _problems(3)
+    batchp = stack_problems(probs)
+    Ls = batch_lipschitz(batchp)
+    cfg = ISTAConfig(max_iter=40)
+    res = solve_batch(batchp, "ista", cfg, history=True, L=Ls)
+    assert res.history.obj.shape == (3, 40)
+    # objectives decrease for every instance
+    objs = np.asarray(res.history.obj)
+    assert np.all(np.diff(objs, axis=1) <= 1e-9)
+
+
+def test_duality_gap_certifies_suboptimality():
+    p = _problems(1)[0]
+    L = power_L(np.asarray(p.A), np.ones(5))
+    # crude iterate: gap must upper-bound true suboptimality
+    mid = fista(p, FISTAConfig(max_iter=5), L=jnp.asarray(L))
+    far = fista(p, FISTAConfig(max_iter=2000), L=jnp.asarray(L))
+    f_star = float(p.objective(far.x))
+    for it in (mid, far):
+        gap = float(lasso_duality_gap(p, it.x))
+        subopt = float(p.objective(it.x)) - f_star
+        assert gap >= subopt - 1e-9
+    # gap shrinks to ~0 at convergence
+    assert float(lasso_duality_gap(p, far.x)) < 1e-8 * float(p.objective(far.x))
+    # gram-form gap agrees with dense-form gap
+    g_dense = float(lasso_duality_gap(p, mid.x))
+    g_gram = float(lasso_duality_gap(p.to_gram(), mid.x))
+    np.testing.assert_allclose(g_gram, g_dense, rtol=1e-6)
+
+
+def test_gap_ridge_strong_convexity_bound():
+    p = _problems(1, reg="ridge", a1=0.0, a2=2.0)[0]
+    A, b = np.asarray(p.A), np.asarray(p.b)
+    x_star = np.linalg.solve(A.T @ A + 2.0 * np.eye(5), A.T @ b)
+    f_star = objective_np(x_star, A, b, 0.0, 2.0)
+    x = jnp.asarray(x_star + 0.1 * np.ones(5))
+    gap = float(lasso_duality_gap(p, x))
+    subopt = float(p.objective(x)) - f_star
+    assert gap >= subopt - 1e-10
+
+
+def test_gram_batch_solver_matches_oracle():
+    n_inst = 6
+    As, bs = [], []
+    for s in range(n_inst):
+        A, b, _ = generate_boston_like(m=120, seed=s, noise_std=1.0, rho1=0.5, rho2=0.7)
+        A = (A - A.mean(0)) / A.std(0)
+        As.append(A)
+        bs.append(b)
+    A3 = jnp.asarray(np.stack(As))
+    b2 = jnp.asarray(np.stack(bs))
+    gb = make_gram_batch(A3, b2, alpha1=0.5, alpha2=0.0, dtype=jnp.float64)
+    res = fista_gram_batch(gb, BatchFISTAConfig(max_iter=400, check_every=0))
+    for i in range(n_inst):
+        L_i = float(gb.L[i])
+        x_ref, _ = fista_np(As[i], bs[i], 0.5, 0.0, L_i, max_iter=400)
+        np.testing.assert_allclose(np.asarray(res.x[i]), x_ref, rtol=1e-6, atol=1e-9)
+
+
+def test_gram_batch_convergence_counting():
+    n_inst = 8
+    As, bs = [], []
+    for s in range(n_inst):
+        A, b, _ = generate_boston_like(m=120, seed=s, noise_std=1.0, rho1=0.5, rho2=0.7)
+        A = (A - A.mean(0)) / A.std(0)
+        As.append(A)
+        bs.append(b)
+    gb = make_gram_batch(
+        jnp.asarray(np.stack(As)), jnp.asarray(np.stack(bs)),
+        alpha1=0.5, alpha2=0.0, dtype=jnp.float64,
+    )
+    cfg = BatchFISTAConfig(max_iter=2000, check_every=10, rel_gap_tol=1e-6)
+    res = fista_gram_batch(gb, cfg)
+    assert bool(res.converged.all())
+    assert np.all(np.asarray(res.rel_gap) <= 1e-6)
+    # iteration counts are multiples of nothing in particular but bounded
+    assert np.all(np.asarray(res.iters) <= int(res.n_iters_total))
+    # certified: true suboptimality vs a long run is within the claimed gap
+    for i in range(0, n_inst, 3):
+        p = LeastSquares.create(As[i], bs[i], "lasso", 0.5, 0.0, dtype=jnp.float64)
+        ref = fista(p, FISTAConfig(max_iter=5000), L=gb.L[i])
+        f_star = float(p.objective(ref.x))
+        f_got = float(p.objective(jnp.asarray(res.x[i])))
+        assert (f_got - f_star) / max(f_star, 1.0) <= 1.1e-6
+
+
+def test_gram_batch_per_instance_alphas():
+    A, b, _ = generate_boston_like(m=120, seed=0, noise_std=1.0, rho1=0.5, rho2=0.7)
+    A = (A - A.mean(0)) / A.std(0)
+    alphas = np.array([0.1, 1.0, 10.0])
+    A3 = jnp.asarray(np.stack([A] * 3))
+    b2 = jnp.asarray(np.stack([b] * 3))
+    gb = make_gram_batch(A3, b2, alpha1=jnp.asarray(alphas), alpha2=0.0, dtype=jnp.float64)
+    res = fista_gram_batch(gb, BatchFISTAConfig(max_iter=600, check_every=0))
+    # larger alpha ⇒ sparser/smaller-norm solution
+    norms = np.abs(np.asarray(res.x)).sum(axis=1)
+    assert norms[0] > norms[1] > norms[2]
+    # each matches its own oracle run
+    for i, a1 in enumerate(alphas):
+        x_ref, _ = fista_np(A, b, a1, 0.0, float(gb.L[i]), max_iter=600)
+        np.testing.assert_allclose(np.asarray(res.x[i]), x_ref, rtol=1e-6, atol=1e-9)
+
+
+def test_float32_gap_certification_is_trustworthy():
+    """bench.py certifies 1e-6 relative gap in float32 — validate that the
+    f32 certificate implies true (float64-measured) suboptimality at the
+    claimed level on the bench problem distribution."""
+    n_inst = 32
+    As, bs = [], []
+    for s in range(n_inst):
+        A, b, _ = generate_boston_like(
+            m=1000, seed=s, noise_std=[0.5, 1.0, 2.0, 5.0][s % 4], rho1=0.5, rho2=0.9
+        )
+        A = (A - A.mean(0)) / A.std(0)
+        As.append(A)
+        bs.append(b)
+    A3 = np.stack(As)
+    b2 = np.stack(bs)
+    a1 = 0.1 * np.abs(np.einsum("bmi,bm->bi", A3, b2)).max(axis=1)
+
+    gb32 = make_gram_batch(
+        jnp.asarray(A3, jnp.float32), jnp.asarray(b2, jnp.float32),
+        alpha1=jnp.asarray(a1, jnp.float32), alpha2=0.0,
+    )
+    res = fista_gram_batch(
+        gb32, BatchFISTAConfig(max_iter=1000, check_every=25, rel_gap_tol=1e-6)
+    )
+    assert bool(res.converged.all())
+
+    # float64 ground truth per instance
+    for i in range(n_inst):
+        p = LeastSquares.create(A3[i], b2[i], "lasso", float(a1[i]), 0.0, dtype=jnp.float64)
+        ref = fista(p, FISTAConfig(max_iter=4000), L=jnp.asarray(float(gb32.L[i])))
+        f_star = float(p.objective(ref.x))
+        f_got = float(p.objective(jnp.asarray(np.asarray(res.x[i], np.float64))))
+        rel = (f_got - f_star) / max(f_star, 1.0)
+        assert rel <= 3e-6, (i, rel)

@@ -1,0 +1,156 @@
+"""Distributed matvec + distributed solve on the 8-device CPU mesh.
+
+Identical code runs on a real TPU slice; here the mesh is simulated via
+--xla_force_host_platform_device_count=8 (conftest.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fastoptsolver_tpu.parallel import (
+    make_mesh,
+    row_sharded_matvec,
+    row_sharded_rmatvec,
+    row_sharded_normal_grad,
+    row_sharded_value_and_grad,
+    col_sharded_matvec,
+    col_sharded_normal_grad,
+    DistributedLeastSquares,
+    shard_gram_batch,
+    MODEL_AXIS,
+    BATCH_AXIS,
+)
+from fastoptsolver_tpu.batch import make_gram_batch, fista_gram_batch
+from fastoptsolver_tpu.batch.fista_gram import BatchFISTAConfig
+from fastoptsolver_tpu.problems import LeastSquares, generate_boston_like
+from fastoptsolver_tpu.solvers import FISTAConfig, fista
+from fastoptsolver_tpu.solvers.lbfgs import LBFGSConfig, lbfgs
+
+
+def _mesh_model():
+    return make_mesh(batch=1, model=8)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_row_sharded_matvecs_match_dense(rng):
+    mesh = _mesh_model()
+    m, n = 64, 12
+    A = jnp.asarray(rng.normal(size=(m, n)))
+    x = jnp.asarray(rng.normal(size=n))
+    y = jnp.asarray(rng.normal(size=m))
+    b = jnp.asarray(rng.normal(size=m))
+
+    A_sh = jax.device_put(A, NamedSharding(mesh, P(MODEL_AXIS, None)))
+    y_sh = jax.device_put(y, NamedSharding(mesh, P(MODEL_AXIS)))
+    b_sh = jax.device_put(b, NamedSharding(mesh, P(MODEL_AXIS)))
+
+    np.testing.assert_allclose(
+        np.asarray(row_sharded_matvec(mesh, A_sh, x)), np.asarray(A @ x), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(row_sharded_rmatvec(mesh, A_sh, y_sh)), np.asarray(A.T @ y), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(row_sharded_normal_grad(mesh, A_sh, b_sh, x)),
+        np.asarray(A.T @ (A @ x - b)),
+        rtol=1e-12,
+    )
+    val, grad = row_sharded_value_and_grad(mesh, A_sh, b_sh, x)
+    r = A @ x - b
+    np.testing.assert_allclose(float(val), float(0.5 * r @ r), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(A.T @ r), rtol=1e-12)
+
+
+def test_col_sharded_matvecs_match_dense(rng):
+    mesh = _mesh_model()
+    m, n = 48, 16
+    A = jnp.asarray(rng.normal(size=(m, n)))
+    x = jnp.asarray(rng.normal(size=n))
+    b = jnp.asarray(rng.normal(size=m))
+    A_sh = jax.device_put(A, NamedSharding(mesh, P(None, MODEL_AXIS)))
+    x_sh = jax.device_put(x, NamedSharding(mesh, P(MODEL_AXIS)))
+    np.testing.assert_allclose(
+        np.asarray(col_sharded_matvec(mesh, A_sh, x_sh)), np.asarray(A @ x), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(col_sharded_normal_grad(mesh, A_sh, b, x_sh)),
+        np.asarray(A.T @ (A @ x - b)),
+        rtol=1e-12,
+    )
+
+
+def test_distributed_fista_matches_single_device():
+    mesh = _mesh_model()
+    A, b, _ = generate_boston_like(m=256, seed=0, noise_std=1.0, rho1=0.5, rho2=0.7)
+    A = (A - A.mean(0)) / A.std(0)
+    local = LeastSquares.create(A, b, "lasso", 0.5, 0.0, dtype=jnp.float64)
+    dist = DistributedLeastSquares.create(
+        A, b, mesh, "lasso", 0.5, 0.0, dtype=jnp.float64
+    )
+    cfg = FISTAConfig(max_iter=100)
+    key = jax.random.PRNGKey(0)
+    r_local = fista(local, cfg, key=key)
+    r_dist = fista(dist, cfg, key=key)
+    np.testing.assert_allclose(
+        np.asarray(r_dist.x), np.asarray(r_local.x), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(float(r_dist.L), float(r_local.L), rtol=1e-9)
+
+
+def test_distributed_fista_col_layout():
+    mesh = _mesh_model()
+    rng = np.random.default_rng(1)
+    m, n = 64, 16  # n divisible by 8 for column sharding
+    A = rng.normal(size=(m, n))
+    b = A @ rng.normal(size=n) + 0.1 * rng.normal(size=m)
+    local = LeastSquares.create(A, b, "elasticnet", 0.3, 0.5, dtype=jnp.float64)
+    dist = DistributedLeastSquares.create(
+        A, b, mesh, "elasticnet", 0.3, 0.5, layout="col", dtype=jnp.float64
+    )
+    cfg = FISTAConfig(max_iter=150)
+    key = jax.random.PRNGKey(0)
+    r_local = fista(local, cfg, key=key)
+    r_dist = fista(dist, cfg, key=key)
+    np.testing.assert_allclose(
+        np.asarray(r_dist.x), np.asarray(r_local.x), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_distributed_lbfgs_matches_single_device():
+    mesh = _mesh_model()
+    A, b, _ = generate_boston_like(m=256, seed=2, noise_std=1.0, rho1=0.5, rho2=0.7)
+    A = (A - A.mean(0)) / A.std(0)
+    local = LeastSquares.create(A, b, "ridge", 0.0, 1.0, dtype=jnp.float64)
+    dist = DistributedLeastSquares.create(A, b, mesh, "ridge", 0.0, 1.0, dtype=jnp.float64)
+    cfg = LBFGSConfig(tol=1e-10)
+    r_local = lbfgs(local, cfg)
+    r_dist = lbfgs(dist, cfg)
+    np.testing.assert_allclose(
+        np.asarray(r_dist.x), np.asarray(r_local.x), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_instance_sharded_gram_batch():
+    # pure data parallelism over the batch axis of the mesh
+    mesh = make_mesh(batch=8, model=1)
+    n_inst = 16
+    As, bs = [], []
+    for s in range(n_inst):
+        A, b, _ = generate_boston_like(m=100, seed=s, noise_std=1.0, rho1=0.5, rho2=0.7)
+        A = (A - A.mean(0)) / A.std(0)
+        As.append(A)
+        bs.append(b)
+    gb = make_gram_batch(
+        jnp.asarray(np.stack(As)), jnp.asarray(np.stack(bs)),
+        alpha1=0.5, alpha2=0.0, dtype=jnp.float64,
+    )
+    cfg = BatchFISTAConfig(max_iter=300, check_every=0)
+    res_plain = fista_gram_batch(gb, cfg)
+    gb_sh = shard_gram_batch(gb, mesh, BATCH_AXIS)
+    res_sh = jax.jit(lambda g: fista_gram_batch(g, cfg))(gb_sh)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.x), np.asarray(res_plain.x), rtol=1e-10, atol=1e-12
+    )
