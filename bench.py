@@ -43,13 +43,24 @@ def _build_problems(key, batch: int, m: int):
     return A, b, alpha1
 
 
-def _solve(A, b, alpha1, max_iter: int, tol: float):
+def _make_solver(max_iter: int, tol: float):
+    """Full pipeline: Gram precompute + Lipschitz power iteration (XLA, one
+    jit) and the VMEM-resident Pallas FISTA solve with on-device gap
+    certification (one jit) — two device dispatches total. The jitted
+    builder is created once (a fresh jax.jit per call would recompile)."""
     from fastoptsolver_tpu.batch import make_gram_batch
-    from fastoptsolver_tpu.batch.fista_gram import BatchFISTAConfig, fista_gram_batch
+    from fastoptsolver_tpu.batch.fista_gram import BatchFISTAConfig
+    from fastoptsolver_tpu.kernels import fista_gram_vmem
 
-    gb = make_gram_batch(A, b, alpha1=alpha1, alpha2=0.0, power_iters=40)
+    build = jax.jit(
+        lambda A, b, a1: make_gram_batch(A, b, alpha1=a1, alpha2=0.0, power_iters=40)
+    )
     cfg = BatchFISTAConfig(max_iter=max_iter, check_every=25, rel_gap_tol=tol)
-    return fista_gram_batch(gb, cfg)
+
+    def solve(A, b, alpha1):
+        return fista_gram_vmem(build(A, b, alpha1), cfg)
+
+    return solve
 
 
 def main():
@@ -61,7 +72,7 @@ def main():
     A, b, alpha1 = _build_problems(key, batch, m)
     A.block_until_ready()
 
-    solve = jax.jit(lambda A, b, a1: _solve(A, b, a1, max_iter, tol))
+    solve = _make_solver(max_iter, tol)
 
     # warmup/compile
     res = solve(A, b, alpha1)

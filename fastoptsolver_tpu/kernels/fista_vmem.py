@@ -1,0 +1,276 @@
+"""Pallas TPU kernel: the whole batched FISTA solve resident in VMEM.
+
+Why a kernel: the batched Gram iteration is n² fused multiply-adds of
+(B,)-wide lanes. XLA's fori_loop version already keeps small batches
+VMEM-resident, but the Pallas tile loop guarantees it at any batch size: each
+B_TILE-instance tile's Gram tensor is loaded into VMEM **once per burst** and
+K iterations run against it before the next tile streams in — HBM traffic is
+O(n²·B) per burst instead of O(K·n²·B).
+
+Layout (identical to the XLA path, batch/fista_gram.py): feature-major,
+instances on lanes.
+  Q: (n_pad, n_pad, B)   — per-instance Gram tensors, n padded to 8 sublanes
+  c, X, Y: (n_pad, B)    — B padded to a multiple of the 128-lane tile
+  tau, thr, a2: (1, B)   — per-instance step, L1 threshold τ·α₁, ridge α₂
+
+Per tile, one iteration is
+  grad[f] = Σ_j Q[j, f] ⊙ Y[j] + a2 ⊙ Y[f]   (Q symmetric ⇒ slice the
+            *leading*, untiled dim of Q — a free plane select — and
+            broadcast one sublane row of Y; n_pad unrolled (8, BT) FMAs)
+  X⁺ = soft_threshold(Y − τ·grad, thr)
+  Y⁺ = X⁺ + β_k (X⁺ − X)
+
+The β_k momentum sequence depends only on the global iteration index, so the
+host precomputes one (max_iter,) table; each launch gets its burst offset via
+a scalar-prefetch argument. The **entire certification loop is one jit**: a
+``lax.while_loop`` alternates K-iteration kernel bursts with an on-device
+duality-gap check (batch/fista_gram.py's ``_rel_gap``) — no host round-trip
+until the final result fetch (the axon TPU tunnel charges ~35 ms per sync,
+measured; this design took the certified 16k-instance solve from 105 ms to
+single-digit ms).
+
+Reference parity: computes exactly the fixed-step FISTA recurrence of
+``/root/reference/iterative_solvers.py:170-221`` (without backtracking or
+restart — those paths run on the XLA driver), verified against the NumPy
+oracle and the XLA path in tests/test_kernels.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..batch.fista_gram import BatchFISTAConfig, BatchResult, GramBatch, _rel_gap
+
+LANE = 128
+SUBLANE = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
+                       X_ref, Y_ref, Xo_ref, Yo_ref, *, n_pad: int, n_steps: int):
+    """Run ``n_steps`` FISTA iterations for one (n_pad, B_TILE) tile.
+
+    ``beta_ref``: scalar-prefetched (max_iter,) momentum table; ``k0_ref``:
+    (1,) burst offset into it. Everything else is VMEM-resident for the burst.
+    """
+    tau = tau_ref[:]  # (1, BT) — broadcasts over the feature sublanes
+    thr = thr_ref[:]
+    a2 = a2_ref[:]
+    Q = Q_ref[:]
+    c = c_ref[:]
+    k0 = k0_ref[0]
+
+    def step(k, carry):
+        X, Y = carry
+        grad = a2 * Y - c
+        for j in range(n_pad):  # static unroll: n_pad (8, BT)-wide FMAs
+            grad += Q[j] * Y[j : j + 1, :]
+        V = Y - tau * grad
+        Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - thr, 0.0)
+        beta = beta_ref[k0 + k]
+        Yn = Xn + beta * (Xn - X)
+        return Xn, Yn
+
+    X, Y = jax.lax.fori_loop(0, n_steps, step, (X_ref[:], Y_ref[:]))
+    Xo_ref[:] = X
+    Yo_ref[:] = Y
+
+
+def momentum_betas(k0: int, n_steps: int, t0: float, cfg: BatchFISTAConfig):
+    """Host-side β_k table for global iterations k0..k0+n_steps-1 plus the
+    Nesterov scalar to resume from. Matches the reference recurrences
+    (iterative_solvers.py:219-221 / :330)."""
+    betas = np.empty(n_steps, np.float32)
+    t = t0
+    if cfg.momentum == "delta":
+        for i in range(n_steps):
+            k_ref = k0 + i + 1  # reference counts from 1
+            betas[i] = k_ref / (k_ref + 1.0 + cfg.delta)
+    else:
+        for i in range(n_steps):
+            t_next = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t * t))
+            betas[i] = (t - 1.0) / t_next
+            t = t_next
+    return jnp.asarray(betas), t
+
+
+def _burst(betas, k0, Q, c, tau, thr, a2, X, Y, *, n_pad, b_tile, n_steps, interpret):
+    """One kernel launch advancing every tile by ``n_steps`` iterations."""
+    B = Q.shape[-1]
+    grid = (B // b_tile,)
+    kern = functools.partial(_fista_tile_kernel, n_pad=n_pad, n_steps=n_steps)
+    vec = lambda r: pl.BlockSpec(
+        (r, b_tile), lambda i, *prefetch: (0, i), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # (betas, k0)
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (n_pad, n_pad, b_tile),
+                lambda i, *prefetch: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            vec(n_pad),  # c
+            vec(1),  # tau
+            vec(1),  # thr
+            vec(1),  # a2
+            vec(n_pad),  # X
+            vec(n_pad),  # Y
+        ],
+        out_specs=[vec(n_pad), vec(n_pad)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, B), Q.dtype),
+            jax.ShapeDtypeStruct((n_pad, B), Q.dtype),
+        ],
+        interpret=interpret,
+    )(betas, k0, Q, c, tau, thr, a2, X, Y)
+
+
+def _pad_batch(gb: GramBatch, b_tile: int) -> tuple[GramBatch, int]:
+    """Zero-pad instances to a b_tile multiple (zero Q/c keep X at 0) and
+    features to the 8-sublane boundary."""
+    n, B = gb.c.shape
+    n_pad = _round_up(max(n, SUBLANE), SUBLANE)
+    B_pad = _round_up(B, b_tile)
+    if n_pad == n and B_pad == B:
+        return gb, B
+    pn, pB = n_pad - n, B_pad - B
+    return (
+        GramBatch(
+            Q=jnp.pad(gb.Q, ((0, pn), (0, pn), (0, pB))),
+            c=jnp.pad(gb.c, ((0, pn), (0, pB))),
+            btb=jnp.pad(gb.btb, (0, pB)),
+            alpha1=jnp.pad(gb.alpha1, (0, pB)),
+            alpha2=jnp.pad(gb.alpha2, (0, pB)),
+            L=jnp.pad(gb.L, (0, pB), constant_values=1.0),
+        ),
+        B,
+    )
+
+
+class _VmemState(NamedTuple):
+    X: Array
+    Y: Array
+    k: Array  # scalar iterations completed
+    done: Array  # (B,)
+    iters: Array  # (B,)
+    gap: Array  # (B,)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_pad", "b_tile", "chunk", "n_bursts", "tol", "interpret", "certify"),
+)
+def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, *,
+                     n_pad, b_tile, chunk, n_bursts, tol, interpret, certify):
+    """The full certified solve as one device program (single host sync)."""
+    B = Q.shape[-1]
+    dtype = Q.dtype
+    gb = GramBatch(Q=Q, c=c, btb=btb, alpha1=alpha1, alpha2=a2v, L=alpha1)
+
+    def burst(state: _VmemState) -> _VmemState:
+        X, Y = _burst(
+            betas, state.k[None].astype(jnp.int32), Q, c, tau, thr, a2,
+            state.X, state.Y,
+            n_pad=n_pad, b_tile=b_tile, n_steps=chunk, interpret=interpret,
+        )
+        k = state.k + chunk
+        if not certify:
+            return _VmemState(X, Y, k, state.done, state.iters, state.gap)
+        g = _rel_gap(gb, X)
+        newly = (~state.done) & (g <= tol)
+        return _VmemState(
+            X=X,
+            Y=Y,
+            k=k,
+            done=state.done | newly,
+            iters=jnp.where(newly, k, jnp.where(state.done, state.iters, k)),
+            gap=jnp.where(state.done, state.gap, g),
+        )
+
+    state = _VmemState(
+        X=jnp.zeros((n_pad, B), dtype),
+        Y=jnp.zeros((n_pad, B), dtype),
+        k=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((B,), bool),
+        iters=jnp.zeros((B,), jnp.int32),
+        gap=jnp.full((B,), jnp.inf, dtype),
+    )
+    if certify:
+        state = jax.lax.while_loop(
+            lambda s: (s.k < n_bursts * chunk) & ~jnp.all(s.done), burst, state
+        )
+        gap = state.gap
+    else:
+        state = jax.lax.fori_loop(0, n_bursts, lambda i, s: burst(s), state)
+        gap = _rel_gap(gb, state.X)
+        state = state._replace(
+            gap=gap, done=gap <= tol, iters=jnp.full((B,), state.k, jnp.int32)
+        )
+    return state
+
+
+def fista_gram_vmem(
+    gb: GramBatch,
+    cfg: BatchFISTAConfig = BatchFISTAConfig(),
+    b_tile: int = 1024,
+    interpret: bool = False,
+) -> BatchResult:
+    """Solve the batch with VMEM-resident kernel bursts, entirely on device.
+
+    ``cfg.check_every > 0``: bursts of that many iterations with an on-device
+    duality-gap certification between bursts, early-exiting when every
+    instance is certified (``max_iter`` is rounded up to a burst multiple).
+    ``check_every <= 0``: one fixed run of ``max_iter`` iterations.
+
+    Unlike the XLA driver, converged lanes are not frozen — they keep
+    iterating at zero extra cost; ``iters`` records the burst boundary at
+    which each instance was first certified.
+    """
+    if cfg.adaptive_restart:
+        raise NotImplementedError(
+            "adaptive restart runs on the XLA driver (batch/fista_gram.py)"
+        )
+    gbp, B_orig = _pad_batch(gb, min(b_tile, _round_up(gb.c.shape[1], LANE)))
+    n_pad, B = gbp.c.shape
+    b_tile = min(b_tile, B)
+    dtype = gbp.c.dtype
+
+    certify = cfg.check_every > 0
+    chunk = cfg.check_every if certify else cfg.max_iter
+    n_bursts = -(-cfg.max_iter // chunk)
+
+    betas, _ = momentum_betas(0, n_bursts * chunk, 1.0, cfg)
+    tau = (cfg.t_init_factor / gbp.L).astype(dtype)[None, :]
+    thr = tau * gbp.alpha1[None, :]
+    a2 = gbp.alpha2[None, :].astype(dtype)
+
+    state = _solve_on_device(
+        betas, gbp.Q, gbp.c, gbp.btb, gbp.alpha1, gbp.alpha2, tau, thr, a2,
+        n_pad=n_pad, b_tile=b_tile, chunk=chunk, n_bursts=n_bursts,
+        tol=cfg.rel_gap_tol, interpret=interpret, certify=certify,
+    )
+    sl = slice(0, B_orig)
+    return BatchResult(
+        x=state.X[: gb.c.shape[0], sl].T,
+        iters=state.iters[sl],
+        rel_gap=state.gap[sl],
+        n_iters_total=state.k,
+        converged=state.done[sl],
+    )

@@ -1,0 +1,116 @@
+"""Pallas fused-FISTA kernel vs the XLA batched path and the NumPy oracle.
+
+Runs in interpreter mode on CPU (conftest forces the cpu platform); the same
+kernel compiles with Mosaic on a real TPU (exercised by bench.py)."""
+import numpy as np
+import jax.numpy as jnp
+
+from fastoptsolver_tpu.batch import make_gram_batch, fista_gram_batch
+from fastoptsolver_tpu.batch.fista_gram import BatchFISTAConfig
+from fastoptsolver_tpu.kernels import fista_gram_vmem, momentum_betas
+from fastoptsolver_tpu.problems import generate_boston_like
+from oracle_np import fista_np
+
+
+def _batch(n_inst=8, m=120):
+    As, bs = [], []
+    for s in range(n_inst):
+        A, b, _ = generate_boston_like(m=m, seed=s, noise_std=1.0, rho1=0.5, rho2=0.7)
+        A = (A - A.mean(0)) / A.std(0)
+        As.append(A)
+        bs.append(b)
+    return np.stack(As), np.stack(bs)
+
+
+def test_momentum_betas_match_reference_sequences():
+    cfg = BatchFISTAConfig()
+    betas, t_out = momentum_betas(0, 5, 1.0, cfg)
+    # replicate the Nesterov recurrence directly
+    t = 1.0
+    for i in range(5):
+        t_next = 0.5 * (1 + np.sqrt(1 + 4 * t * t))
+        np.testing.assert_allclose(float(betas[i]), (t - 1) / t_next, rtol=1e-6)
+        t = t_next
+    np.testing.assert_allclose(t_out, t, rtol=1e-12)
+    # resuming mid-sequence continues the same sequence
+    b01, t1 = momentum_betas(0, 2, 1.0, cfg)
+    b23, _ = momentum_betas(2, 3, t1, cfg)
+    full, _ = momentum_betas(0, 5, 1.0, cfg)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(b01), np.asarray(b23)]), np.asarray(full), rtol=1e-6
+    )
+    # delta momentum
+    dcfg = BatchFISTAConfig(momentum="delta", delta=4.0)
+    bd, _ = momentum_betas(3, 2, 1.0, dcfg)
+    np.testing.assert_allclose(np.asarray(bd), [4 / 9, 5 / 10], rtol=1e-6)
+
+
+def test_kernel_matches_xla_path_fixed_iters():
+    A3, b2 = _batch()
+    gb = make_gram_batch(
+        jnp.asarray(A3, jnp.float32), jnp.asarray(b2, jnp.float32),
+        alpha1=0.5, alpha2=0.0,
+    )
+    cfg = BatchFISTAConfig(max_iter=60, check_every=0)
+    ref = fista_gram_batch(gb, cfg)
+    got = fista_gram_vmem(gb, cfg, b_tile=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_kernel_matches_oracle_float64_ground_truth():
+    A3, b2 = _batch(n_inst=4)
+    gb = make_gram_batch(
+        jnp.asarray(A3, jnp.float32), jnp.asarray(b2, jnp.float32),
+        alpha1=0.5, alpha2=0.3,
+    )
+    K = 80
+    got = fista_gram_vmem(
+        gb, BatchFISTAConfig(max_iter=K, check_every=0), b_tile=128, interpret=True
+    )
+    for i in range(4):
+        x_ref, _ = fista_np(A3[i], b2[i], 0.5, 0.3, float(gb.L[i]), max_iter=K)
+        np.testing.assert_allclose(np.asarray(got.x[i]), x_ref, rtol=5e-4, atol=5e-5)
+
+
+def test_kernel_delta_momentum():
+    A3, b2 = _batch(n_inst=4)
+    gb = make_gram_batch(
+        jnp.asarray(A3, jnp.float32), jnp.asarray(b2, jnp.float32),
+        alpha1=0.5, alpha2=0.0,
+    )
+    cfg = BatchFISTAConfig(max_iter=50, check_every=0, momentum="delta", delta=3.0)
+    ref = fista_gram_batch(gb, cfg)
+    got = fista_gram_vmem(gb, cfg, b_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-5)
+
+
+def test_kernel_certification_loop():
+    A3, b2 = _batch(n_inst=8, m=400)
+    a1 = 0.1 * np.abs(np.einsum("bmi,bm->bi", A3, b2)).max(axis=1)
+    gb = make_gram_batch(
+        jnp.asarray(A3, jnp.float32), jnp.asarray(b2, jnp.float32),
+        alpha1=jnp.asarray(a1, jnp.float32), alpha2=0.0,
+    )
+    cfg = BatchFISTAConfig(max_iter=800, check_every=50, rel_gap_tol=1e-6)
+    res = fista_gram_vmem(gb, cfg, b_tile=128, interpret=True)
+    assert bool(np.asarray(res.converged).all())
+    assert np.all(np.asarray(res.rel_gap) <= 1e-6)
+    # iters recorded at burst boundaries
+    assert np.all(np.asarray(res.iters) % 50 == 0)
+    assert np.all(np.asarray(res.iters) <= int(res.n_iters_total))
+
+
+def test_kernel_padding_nonmultiple_batch():
+    # B=5 not a multiple of the tile; n=5 padded to 8
+    A3, b2 = _batch(n_inst=5)
+    gb = make_gram_batch(
+        jnp.asarray(A3, jnp.float32), jnp.asarray(b2, jnp.float32),
+        alpha1=0.5, alpha2=0.0,
+    )
+    cfg = BatchFISTAConfig(max_iter=40, check_every=0)
+    ref = fista_gram_batch(gb, cfg)
+    got = fista_gram_vmem(gb, cfg, b_tile=128, interpret=True)
+    assert got.x.shape == (5, 5)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-5)
