@@ -20,7 +20,7 @@ TPU-first:
 
 __version__ = "0.1.0"
 
-from . import ops, problems, solvers
+from . import batch, kernels, ops, parallel, problems, runtime, solvers, utils
 from .ops import (
     soft_threshold,
     prox_l1,

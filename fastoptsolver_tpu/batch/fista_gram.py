@@ -221,12 +221,9 @@ def _iterate_block(gb: GramBatch, cfg: BatchFISTAConfig, tau: Array, state: Batc
     return jax.lax.fori_loop(0, n_steps, one, state)
 
 
-def fista_gram_batch(gb: GramBatch, cfg: BatchFISTAConfig = BatchFISTAConfig()) -> BatchResult:
-    """Solve the whole batch; exits as soon as every instance is certified at
-    ``rel_gap_tol`` (or at ``max_iter``)."""
+def init_batch_state(gb: GramBatch) -> BatchState:
     n, B = gb.c.shape
-    tau = (cfg.t_init_factor / gb.L).astype(gb.c.dtype)
-    state0 = BatchState(
+    return BatchState(
         X=jnp.zeros((n, B), gb.c.dtype),
         Y=jnp.zeros((n, B), gb.c.dtype),
         t=jnp.ones((B,), gb.c.dtype),
@@ -237,16 +234,39 @@ def fista_gram_batch(gb: GramBatch, cfg: BatchFISTAConfig = BatchFISTAConfig()) 
         k=jnp.zeros((), jnp.int32),
     )
 
+
+def fista_gram_batch(
+    gb: GramBatch,
+    cfg: BatchFISTAConfig = BatchFISTAConfig(),
+    state0: BatchState | None = None,
+    return_state: bool = False,
+):
+    """Solve the whole batch; exits as soon as every instance is certified at
+    ``rel_gap_tol`` (or at ``max_iter``).
+
+    ``state0`` resumes a previous run exactly (see utils/checkpoint.py —
+    ``BatchState`` is a plain pytree; ``max_iter`` counts total iterations
+    including the resumed ones). With ``return_state`` the final state is
+    returned alongside the result for checkpointing.
+    """
+    tau = (cfg.t_init_factor / gb.L).astype(gb.c.dtype)
+    if state0 is None:
+        state0 = init_batch_state(gb)
+
     if cfg.check_every <= 0:
-        final = _iterate_block(gb, cfg, tau, state0, cfg.max_iter)
+        # max_iter counts total iterations including any resumed-from state
+        remaining = jnp.maximum(cfg.max_iter - state0.k, 0)
+        final = _iterate_block(gb, cfg, tau, state0, remaining)
         gap = _rel_gap(gb, final.X)
-        return BatchResult(
+        final = final._replace(gap=gap, done=gap <= cfg.rel_gap_tol)
+        result = BatchResult(
             x=final.X.T,
             iters=final.iters,
             rel_gap=gap,
             n_iters_total=final.k,
-            converged=gap <= cfg.rel_gap_tol,
+            converged=final.done,
         )
+        return (result, final) if return_state else result
 
     def cond(s: BatchState):
         return (s.k < cfg.max_iter) & jnp.any(~s.done)
@@ -261,10 +281,11 @@ def fista_gram_batch(gb: GramBatch, cfg: BatchFISTAConfig = BatchFISTAConfig()) 
         )
 
     final = jax.lax.while_loop(cond, body, state0)
-    return BatchResult(
+    result = BatchResult(
         x=final.X.T,
         iters=final.iters,
         rel_gap=final.gap,
         n_iters_total=final.k,
         converged=final.done | (final.gap <= cfg.rel_gap_tol),
     )
+    return (result, final) if return_state else result

@@ -1,4 +1,6 @@
 from .common import Metrics, History, SolveResult, LineSearchConfig, ARMIJO_C
+from .cd import CDConfig, cd, certified_optimum
+from .lbfgs import LBFGSConfig, lbfgs, lbfgs_with_history
 from .ista import ISTAConfig, ista, ista_with_history
 from .fista import (
     FISTAConfig,
@@ -10,6 +12,12 @@ from .fista import (
 )
 
 __all__ = [
+    "CDConfig",
+    "cd",
+    "certified_optimum",
+    "LBFGSConfig",
+    "lbfgs",
+    "lbfgs_with_history",
     "Metrics",
     "History",
     "SolveResult",
