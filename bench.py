@@ -23,9 +23,15 @@ import jax
 import jax.numpy as jnp
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "m"))
 def _build_problems(key, batch: int, m: int):
     """Scenario batch with per-instance noise/correlations spanning the
-    reference grid, standardized columns, alpha1 = 0.1·‖Aᵀb‖∞ per instance."""
+    reference grid, standardized columns, alpha1 = 0.1·‖Aᵀb‖∞ per instance.
+    One compiled program — eager op-by-op dispatch over the TPU tunnel costs
+    ~35 ms/op and made this stage look minutes-slow."""
     from fastoptsolver_tpu.problems import generate_scenario_batch
 
     knoise, kr1, kr2, kgen = jax.random.split(key, 4)
@@ -64,7 +70,11 @@ def _make_solver(max_iter: int, tol: float):
 
 
 def main():
-    batch = int(__import__("os").environ.get("BENCH_BATCH", 16384))
+    # Persistent compile cache: bench programs are large (Pallas kernel +
+    # while_loop certification); re-runs skip the multi-minute compile.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fos_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    batch = int(__import__("os").environ.get("BENCH_BATCH", 65536))
     m = 1000
     max_iter, tol = 1000, 1e-6
 
