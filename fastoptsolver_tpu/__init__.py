@@ -21,6 +21,7 @@ TPU-first:
 __version__ = "0.1.0"
 
 from . import batch, kernels, ops, parallel, problems, runtime, solvers, utils
+from .api import solve
 from .ops import (
     soft_threshold,
     prox_l1,

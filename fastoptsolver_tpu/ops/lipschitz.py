@@ -91,4 +91,6 @@ def lipschitz_for(problem, key: Array | None = None, n_iter: int = 100, tol: flo
         L = estimate_lipschitz_gram(problem.Q, key, n_iter, tol)
     else:
         L = estimate_lipschitz(problem.A, key, n_iter, tol)
-    return L + problem.alpha2
+    if getattr(problem, "ridge_in_smooth", True):
+        L = L + problem.alpha2
+    return L

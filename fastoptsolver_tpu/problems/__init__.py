@@ -1,5 +1,6 @@
 from .base import CustomProblem, fold_alphas, REG_TYPES
 from .least_squares import LeastSquares, GramLeastSquares, LogisticRegression
+from .boston import load_boston_csv, synthetic_boston
 from .generators import (
     generate_boston_like,
     generate_scenario,
@@ -9,6 +10,8 @@ from .generators import (
 )
 
 __all__ = [
+    "load_boston_csv",
+    "synthetic_boston",
     "CustomProblem",
     "fold_alphas",
     "REG_TYPES",

@@ -31,19 +31,27 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from ..ops.prox import soft_threshold
+from ..ops.prox import prox_elastic_net, soft_threshold
 from .base import fold_alphas
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class LeastSquares:
-    """``g(x) = ½||Ax−b||² + ½·α₂||x||²``, ``h(x) = α₁||x||₁``."""
+    """``g(x) = ½||Ax−b||² + ½·α₂||x||²``, ``h(x) = α₁||x||₁``.
+
+    With ``en_prox=True`` the ridge term moves into the *nonsmooth* part and
+    the prox becomes the elastic-net prox (``prox_operators.py:10-16``):
+    ``g = ½||Ax−b||²``, ``h = α₁||x||₁ + ½α₂||x||²``. The reference defines
+    this operator but its solvers never use it (SURVEY.md §7 item 5) — both
+    paths are exposed here; they converge to the same minimizer.
+    """
 
     A: Array  # (m, n)
     b: Array  # (m,)
     alpha1: Array  # scalar (effective L1 weight; 0 disables prox/h)
-    alpha2: Array  # scalar (effective ridge weight folded into g)
+    alpha2: Array  # scalar (effective ridge weight)
+    en_prox: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @classmethod
     def create(
@@ -54,37 +62,58 @@ class LeastSquares:
         alpha1: float = 0.0,
         alpha2: float = 0.0,
         dtype=jnp.float32,
+        en_prox: bool = False,
     ) -> "LeastSquares":
         a1, a2, _ = fold_alphas(reg_type, alpha1, alpha2)
         A = jnp.asarray(A, dtype)
         b = jnp.asarray(b, dtype)
-        return cls(A=A, b=b, alpha1=jnp.asarray(a1, dtype), alpha2=jnp.asarray(a2, dtype))
+        return cls(
+            A=A,
+            b=b,
+            alpha1=jnp.asarray(a1, dtype),
+            alpha2=jnp.asarray(a2, dtype),
+            en_prox=en_prox,
+        )
 
     @property
     def dim(self) -> int:
         return self.A.shape[-1]
 
+    @property
+    def ridge_in_smooth(self) -> bool:
+        """Whether α₂ contributes to the smooth part's Lipschitz constant."""
+        return not self.en_prox
+
     def residual(self, x: Array) -> Array:
         return self.A @ x - self.b
 
+    def _smooth_a2(self):
+        # en_prox is static, so this branch resolves at trace time
+        return 0.0 if self.en_prox else self.alpha2
+
     def smooth_value(self, x: Array) -> Array:
         r = self.residual(x)
-        return 0.5 * (r @ r) + 0.5 * self.alpha2 * (x @ x)
+        return 0.5 * (r @ r) + 0.5 * self._smooth_a2() * (x @ x)
 
     def smooth_grad(self, x: Array) -> Array:
-        return self.A.T @ self.residual(x) + self.alpha2 * x
+        return self.A.T @ self.residual(x) + self._smooth_a2() * x
 
     def smooth_value_and_grad(self, x: Array) -> tuple[Array, Array]:
         r = self.residual(x)
-        val = 0.5 * (r @ r) + 0.5 * self.alpha2 * (x @ x)
-        grad = self.A.T @ r + self.alpha2 * x
+        val = 0.5 * (r @ r) + 0.5 * self._smooth_a2() * (x @ x)
+        grad = self.A.T @ r + self._smooth_a2() * x
         return val, grad
 
     def prox(self, v: Array, tau: Array) -> Array:
+        if self.en_prox:
+            return prox_elastic_net(v, tau, self.alpha1, self.alpha2)
         return soft_threshold(v, tau * self.alpha1)
 
     def nonsmooth_value(self, x: Array) -> Array:
-        return self.alpha1 * jnp.sum(jnp.abs(x))
+        h = self.alpha1 * jnp.sum(jnp.abs(x))
+        if self.en_prox:
+            h = h + 0.5 * self.alpha2 * (x @ x)
+        return h
 
     def objective(self, x: Array) -> Array:
         return self.smooth_value(x) + self.nonsmooth_value(x)
@@ -96,6 +125,11 @@ class LeastSquares:
     def to_gram(self) -> "GramLeastSquares":
         """Precompute the normal-equation form. One (n×m)@(m×n) matmul —
         MXU-friendly, done once outside the solver loop."""
+        if self.en_prox:
+            raise NotImplementedError(
+                "Gram form folds the ridge term into the smooth part; use "
+                "en_prox=False (same minimizer)"
+            )
         Q = self.A.T @ self.A
         c = self.A.T @ self.b
         return GramLeastSquares(

@@ -144,3 +144,57 @@ def test_jax_scenario_batch_statistics():
     # correlation of block1 near rho1
     corr = np.corrcoef(A_np[:, 0], A_np[:, 1])[0, 1]
     np.testing.assert_allclose(corr, 0.8, atol=0.05)
+
+
+def test_en_prox_variant_same_minimizer():
+    """en_prox=True (ridge in nonsmooth part + elastic-net prox) and the
+    default folded form converge to the same minimizer."""
+    from fastoptsolver_tpu.solvers import FISTAConfig, fista
+
+    A, b, _ = generate_boston_like(m=200, seed=0, noise_std=1.0, rho1=0.5, rho2=0.7)
+    A = (A - A.mean(0)) / A.std(0)
+    folded = LeastSquares.create(A, b, "elasticnet", 0.5, 2.0, dtype=jnp.float64)
+    enp = LeastSquares.create(A, b, "elasticnet", 0.5, 2.0, dtype=jnp.float64, en_prox=True)
+    import jax as _jax
+
+    key = _jax.random.PRNGKey(0)
+    xf = fista(folded, FISTAConfig(max_iter=2000), key=key).x
+    xe = fista(enp, FISTAConfig(max_iter=2000), key=key).x
+    np.testing.assert_allclose(np.asarray(xe), np.asarray(xf), rtol=1e-6, atol=1e-9)
+    # objectives agree (h-split differs, total is identical)
+    np.testing.assert_allclose(float(enp.objective(xe)), float(folded.objective(xf)), rtol=1e-10)
+    with pytest.raises(NotImplementedError):
+        enp.to_gram()
+
+
+def test_solve_api():
+    from fastoptsolver_tpu import solve
+
+    A, b, _ = generate_boston_like(m=200, seed=0, noise_std=1.0, rho1=0.5, rho2=0.7)
+    A = (A - A.mean(0)) / A.std(0)
+    r1 = solve(A, b, "lasso", alpha1=0.5, max_iter=300, dtype=jnp.float64)
+    r2 = solve(A, b, "lasso", alpha1=0.5, method="cd", dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), rtol=1e-4, atol=1e-7)
+    r3 = solve(A, b, "ridge", alpha2=1.0, method="lbfgs", tol=1e-10, dtype=jnp.float64)
+    x_star = np.linalg.solve(A.T @ A + np.eye(5), A.T @ b)
+    np.testing.assert_allclose(np.asarray(r3.x), x_star, rtol=1e-4)
+    rh = solve(A, b, "lasso", alpha1=0.5, method="fista_delta", history=True,
+               max_iter=50, dtype=jnp.float64)
+    assert rh.history.obj.shape == (50,)
+    with pytest.raises(ValueError):
+        solve(A, b, method="adam")
+    with pytest.raises(TypeError):
+        solve(A, b, "lasso", alpha1=0.5, bogus_option=1)
+
+
+def test_boston_506x13():
+    from fastoptsolver_tpu.problems import synthetic_boston
+    from fastoptsolver_tpu import solve
+
+    A, b, x_true = synthetic_boston(seed=0)
+    assert A.shape == (506, 13) and b.shape == (506,)
+    res = solve(A, b, "lasso", alpha1=10.0, max_iter=2000, dtype=jnp.float64)
+    x = np.asarray(res.x)
+    # sparse recovery: the four true-support columns dominate
+    support = np.argsort(-np.abs(x))[:4]
+    assert set(support) == set(np.nonzero(x_true)[0])
