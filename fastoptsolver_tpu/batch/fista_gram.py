@@ -153,6 +153,7 @@ class BatchResult(NamedTuple):
     rel_gap: Array  # (B,)
     n_iters_total: Array  # scalar: lockstep iterations actually run
     converged: Array  # (B,) bool
+    failed: Array | None = None  # (B,) bool: non-finite iterate/gap detected
 
 
 def _rel_gap(gb: GramBatch, X: Array) -> Array:
@@ -258,13 +259,15 @@ def fista_gram_batch(
         remaining = jnp.maximum(cfg.max_iter - state0.k, 0)
         final = _iterate_block(gb, cfg, tau, state0, remaining)
         gap = _rel_gap(gb, final.X)
-        final = final._replace(gap=gap, done=gap <= cfg.rel_gap_tol)
+        failed = ~jnp.all(jnp.isfinite(final.X), axis=0) | jnp.isnan(gap)
+        final = final._replace(gap=gap, done=(gap <= cfg.rel_gap_tol) & ~failed)
         result = BatchResult(
             x=final.X.T,
             iters=final.iters,
             rel_gap=gap,
             n_iters_total=final.k,
             converged=final.done,
+            failed=failed,
         )
         return (result, final) if return_state else result
 
@@ -274,18 +277,24 @@ def fista_gram_batch(
     def body(s: BatchState):
         s = _iterate_block(gb, cfg, tau, s, cfg.check_every)
         gap = _rel_gap(gb, s.X)
-        newly_done = (~s.done) & (gap <= cfg.rel_gap_tol)
+        # Failure detection: a lane whose iterate went non-finite (bad data,
+        # underestimated Lipschitz ⇒ divergence) is quarantined — marked done
+        # with gap=inf so the healthy lanes don't spin until max_iter.
+        failed = ~jnp.all(jnp.isfinite(s.X), axis=0) | jnp.isnan(gap)
+        newly_done = (~s.done) & ((gap <= cfg.rel_gap_tol) | failed)
         return s._replace(
             done=s.done | newly_done,
-            gap=jnp.where(s.done, s.gap, gap),
+            gap=jnp.where(s.done, s.gap, jnp.where(failed, jnp.inf, gap)),
         )
 
     final = jax.lax.while_loop(cond, body, state0)
+    failed = ~jnp.all(jnp.isfinite(final.X), axis=0)
     result = BatchResult(
         x=final.X.T,
         iters=final.iters,
         rel_gap=final.gap,
         n_iters_total=final.k,
-        converged=final.done | (final.gap <= cfg.rel_gap_tol),
+        converged=(final.done | (final.gap <= cfg.rel_gap_tol)) & ~failed,
+        failed=failed,
     )
     return (result, final) if return_state else result

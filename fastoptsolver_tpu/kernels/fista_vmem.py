@@ -194,7 +194,10 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, *,
         if not certify:
             return _VmemState(X, Y, k, state.done, state.iters, state.gap)
         g = _rel_gap(gb, X)
-        newly = (~state.done) & (g <= tol)
+        # quarantine non-finite lanes (failure detection) so the loop exits
+        failed = ~jnp.all(jnp.isfinite(X), axis=0) | jnp.isnan(g)
+        g = jnp.where(failed, jnp.inf, g)
+        newly = (~state.done) & ((g <= tol) | failed)
         return _VmemState(
             X=X,
             Y=Y,
@@ -226,10 +229,17 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, *,
     return state
 
 
+def auto_b_tile(n_pad: int, vmem_budget_bytes: int = 6 * 1024 * 1024) -> int:
+    """Largest lane tile whose Q block (n_pad² · b_tile · 4B) fits the VMEM
+    budget, clamped to [128, 1024] and a 128-lane multiple."""
+    fit = vmem_budget_bytes // (n_pad * n_pad * 4)
+    return int(max(LANE, min(1024, (fit // LANE) * LANE)))
+
+
 def fista_gram_vmem(
     gb: GramBatch,
     cfg: BatchFISTAConfig = BatchFISTAConfig(),
-    b_tile: int = 1024,
+    b_tile: int | None = None,
     interpret: bool = False,
 ) -> BatchResult:
     """Solve the batch with VMEM-resident kernel bursts, entirely on device.
@@ -247,6 +257,8 @@ def fista_gram_vmem(
         raise NotImplementedError(
             "adaptive restart runs on the XLA driver (batch/fista_gram.py)"
         )
+    if b_tile is None:
+        b_tile = auto_b_tile(_round_up(max(gb.c.shape[0], SUBLANE), SUBLANE))
     gbp, B_orig = _pad_batch(gb, min(b_tile, _round_up(gb.c.shape[1], LANE)))
     n_pad, B = gbp.c.shape
     b_tile = min(b_tile, B)
@@ -267,10 +279,12 @@ def fista_gram_vmem(
         tol=cfg.rel_gap_tol, interpret=interpret, certify=certify,
     )
     sl = slice(0, B_orig)
+    failed = ~jnp.all(jnp.isfinite(state.X[:, sl]), axis=0)
     return BatchResult(
         x=state.X[: gb.c.shape[0], sl].T,
         iters=state.iters[sl],
         rel_gap=state.gap[sl],
         n_iters_total=state.k,
-        converged=state.done[sl],
+        converged=state.done[sl] & ~failed,
+        failed=failed,
     )

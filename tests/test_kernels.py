@@ -114,3 +114,49 @@ def test_kernel_padding_nonmultiple_batch():
     got = fista_gram_vmem(gb, cfg, b_tile=128, interpret=True)
     assert got.x.shape == (5, 5)
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-5)
+
+
+def test_kernel_larger_n_auto_tile():
+    """n=20 (padded to 24 sublanes) with automatic lane-tile sizing."""
+    import jax
+    from fastoptsolver_tpu.kernels.fista_vmem import auto_b_tile
+
+    assert auto_b_tile(8) == 1024
+    assert auto_b_tile(64) == 384
+    assert auto_b_tile(128) == 128
+
+    rng = np.random.default_rng(0)
+    B, m, n = 12, 300, 20
+    A3 = rng.normal(size=(B, m, n)).astype(np.float32)
+    x_true = np.zeros(n); x_true[:5] = [3.0, -2.0, 1.5, 0.5, -1.0]
+    b2 = (A3 @ x_true + 0.5 * rng.normal(size=(B, m))).astype(np.float32)
+    gb = make_gram_batch(jnp.asarray(A3), jnp.asarray(b2), alpha1=5.0, alpha2=0.0)
+    cfg = BatchFISTAConfig(max_iter=300, check_every=0)
+    ref = fista_gram_batch(gb, cfg)
+    got = fista_gram_vmem(gb, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), rtol=2e-3, atol=2e-4)
+
+
+def test_failure_detection_quarantines_bad_lanes():
+    """An instance with corrupt data (NaN) is flagged failed and does not
+    stall the batch; healthy instances still certify."""
+    A3, b2 = _batch(n_inst=4, m=200)
+    gb = make_gram_batch(
+        jnp.asarray(A3, jnp.float32), jnp.asarray(b2, jnp.float32),
+        alpha1=0.5, alpha2=0.0,
+    )
+    Qbad = gb.Q.at[0, 0, 1].set(jnp.nan)  # corrupt instance 1
+    gb_bad = gb.__class__(Q=Qbad, c=gb.c, btb=gb.btb, alpha1=gb.alpha1,
+                          alpha2=gb.alpha2, L=gb.L)
+    cfg = BatchFISTAConfig(max_iter=4000, check_every=20, rel_gap_tol=1e-6)
+    res = fista_gram_batch(gb_bad, cfg)
+    failed = np.asarray(res.failed)
+    conv = np.asarray(res.converged)
+    assert failed[1] and not conv[1]
+    assert conv[[0, 2, 3]].all() and not failed[[0, 2, 3]].any()
+    assert int(res.n_iters_total) < 4000  # quarantine prevented a full spin
+    # kernel path agrees
+    res_k = fista_gram_vmem(gb_bad, cfg, b_tile=128, interpret=True)
+    fk = np.asarray(res_k.failed)
+    ck = np.asarray(res_k.converged)
+    assert fk[1] and not ck[1] and ck[[0, 2, 3]].all()
