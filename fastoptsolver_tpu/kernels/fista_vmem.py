@@ -288,3 +288,112 @@ def fista_gram_vmem(
         converged=state.done[sl] & ~failed,
         failed=failed,
     )
+
+
+def fista_gram_vmem_sharded(
+    gb: GramBatch,
+    mesh,
+    cfg: BatchFISTAConfig = BatchFISTAConfig(),
+    axis: str = "batch",
+    b_tile: int | None = None,
+    interpret: bool = False,
+) -> BatchResult:
+    """Instance-parallel multi-chip variant: the VMEM-kernel solve runs
+    per-device on its shard of the instance axis via ``shard_map`` — pure
+    data parallelism, zero inter-chip communication during the solve (each
+    device owns complete instances; XLA cannot auto-partition a pallas_call,
+    hence the explicit shard_map rather than GSPMD annotations).
+
+    Unlike the single-chip driver there is no cross-device early exit: every
+    device runs the full static burst schedule (an early exit would need a
+    collective in the while predicate every burst, costing more than the
+    wasted bursts for typical workloads). Certification is still per
+    instance. ``max_iter`` is rounded up to a burst multiple.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if cfg.adaptive_restart:
+        raise NotImplementedError("adaptive restart runs on the XLA driver")
+    n_dev = mesh.shape[axis]
+    if b_tile is None:
+        b_tile = auto_b_tile(_round_up(max(gb.c.shape[0], SUBLANE), SUBLANE))
+    # pad so every device's shard is a whole number of lane tiles
+    gbp, B_orig = _pad_batch(gb, min(b_tile, LANE) * n_dev)
+    n_pad, B = gbp.c.shape
+    b_tile = min(b_tile, B // n_dev)
+    dtype = gbp.c.dtype
+
+    certify = cfg.check_every > 0
+    chunk = cfg.check_every if certify else cfg.max_iter
+    n_bursts = -(-cfg.max_iter // chunk)
+    betas, _ = momentum_betas(0, n_bursts * chunk, 1.0, cfg)
+    tau = (cfg.t_init_factor / gbp.L).astype(dtype)[None, :]
+    thr = tau * gbp.alpha1[None, :]
+    a2 = gbp.alpha2[None, :].astype(dtype)
+
+    def local_solve(betas, Q, c, btb, alpha1, a2v, tau, thr, a2):
+        Bl = Q.shape[-1]
+        gbl = GramBatch(Q=Q, c=c, btb=btb, alpha1=alpha1, alpha2=a2v, L=alpha1)
+
+        def burst(i, s):
+            X, Y = _burst(
+                betas, s.k[None].astype(jnp.int32), Q, c, tau, thr, a2, s.X, s.Y,
+                n_pad=n_pad, b_tile=b_tile, n_steps=chunk, interpret=interpret,
+            )
+            k = s.k + chunk
+            g = _rel_gap(gbl, X)
+            failed = ~jnp.all(jnp.isfinite(X), axis=0) | jnp.isnan(g)
+            g = jnp.where(failed, jnp.inf, g)
+            newly = (~s.done) & ((g <= cfg.rel_gap_tol) | failed)
+            return _VmemState(
+                X=X, Y=Y, k=k,
+                done=s.done | newly,
+                iters=jnp.where(newly, k, jnp.where(s.done, s.iters, k)),
+                gap=jnp.where(s.done, s.gap, g),
+            )
+
+        init = _VmemState(
+            X=jnp.zeros((n_pad, Bl), dtype),
+            Y=jnp.zeros((n_pad, Bl), dtype),
+            k=jnp.zeros((), jnp.int32),
+            done=jnp.zeros((Bl,), bool),
+            iters=jnp.zeros((Bl,), jnp.int32),
+            gap=jnp.full((Bl,), jnp.inf, dtype),
+        )
+        s = jax.lax.fori_loop(0, n_bursts, burst, init)
+        return s.X, s.done, s.iters, s.gap
+
+    shard = P(None, axis)
+    vec = P(axis)
+    fn = jax.shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(), P(None, None, axis), shard, vec, vec, vec, shard, shard, shard),
+        out_specs=(shard, vec, vec, vec),
+        # pallas_call's out_shape carries no varying-mesh-axes info; skip the
+        # vma check (the kernel is purely local — no collectives inside)
+        check_vma=False,
+    )
+    # lay inputs out across the mesh
+    dev = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+    X, done, iters, gap = fn(
+        betas,
+        dev(gbp.Q, P(None, None, axis)),
+        dev(gbp.c, shard),
+        dev(gbp.btb, vec),
+        dev(gbp.alpha1, vec),
+        dev(gbp.alpha2, vec),
+        dev(tau, shard),
+        dev(thr, shard),
+        dev(a2, shard),
+    )
+    sl = slice(0, B_orig)
+    failed = ~jnp.all(jnp.isfinite(X[:, sl]), axis=0)
+    return BatchResult(
+        x=X[: gb.c.shape[0], sl].T,
+        iters=iters[sl],
+        rel_gap=gap[sl],
+        n_iters_total=jnp.asarray(n_bursts * chunk, jnp.int32),
+        converged=done[sl] & ~failed,
+        failed=failed,
+    )
