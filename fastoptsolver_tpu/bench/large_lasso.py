@@ -63,8 +63,6 @@ def run(m: int, n: int, iters: int, alpha1_scale: float = 0.1, seed: int = 0):
     matvecs = 2 * (total_iters + 100)
     flops = matvecs * 2.0 * m * n
     bytes_streamed = matvecs * (m * n * 4.0)
-    from ..problems import LeastSquares as _LS  # objective check
-
     return {
         "m": m,
         "n": n,

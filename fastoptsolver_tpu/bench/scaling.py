@@ -46,7 +46,7 @@ def _child(mode: str, n_dev: int, batch: int, m: int, iters: int) -> None:
 
     from ..batch import make_gram_batch
     from ..batch.fista_gram import BatchFISTAConfig, fista_gram_batch
-    from ..parallel import BATCH_AXIS, MODEL_AXIS, make_mesh, shard_gram_batch
+    from ..parallel import BATCH_AXIS, make_mesh, shard_gram_batch
     from ..parallel.problem import DistributedLeastSquares
     from ..solvers import FISTAConfig, fista
 

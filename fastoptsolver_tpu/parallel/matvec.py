@@ -19,10 +19,7 @@ is explicit and testable; XLA lowers the psum to ICI all-reduce on hardware.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .mesh import MODEL_AXIS

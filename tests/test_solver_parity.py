@@ -144,3 +144,26 @@ def test_metrics_counters():
     assert int(res.metrics.n_grad_evals) == K
     assert int(res.metrics.n_ls_calls) == K
     assert int(res.metrics.ls_iters_total) >= 0
+
+
+def test_fista_on_l1_logistic_regression():
+    """Solver generality: FISTA on L1-regularized logistic regression (a
+    problem family the reference cannot express), checked via first-order
+    KKT optimality conditions."""
+    from fastoptsolver_tpu.problems import LogisticRegression
+
+    rng = np.random.default_rng(3)
+    m, n = 150, 8
+    A = rng.normal(size=(m, n))
+    y = np.sign(A @ rng.normal(size=n) + 0.3 * rng.normal(size=m))
+    a1 = 2.0
+    p = LogisticRegression.create(A, y, alpha1=a1, alpha2=0.0, dtype=jnp.float64)
+    # logistic Hessian bound: L <= ||A||^2 / 4
+    L = 0.25 * float(np.linalg.eigvalsh(A.T @ A)[-1])
+    res = fista(p, FISTAConfig(max_iter=3000), L=jnp.asarray(L))
+    x = np.asarray(res.x)
+    g = np.asarray(p.smooth_grad(res.x))
+    # KKT for L1: |g_j| <= a1 off-support, g_j = -a1*sign(x_j) on support
+    on = np.abs(x) > 1e-10
+    assert np.all(np.abs(g[~on]) <= a1 + 1e-6)
+    np.testing.assert_allclose(np.abs(g[on]), a1, rtol=1e-5)
