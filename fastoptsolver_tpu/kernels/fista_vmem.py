@@ -58,11 +58,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
-                       X_ref, Y_ref, Xo_ref, Yo_ref, *, n_pad: int, n_steps: int):
+                       a1_ref, btb_ref, X_ref, Y_ref, Xo_ref, Yo_ref, gap_ref,
+                       *, n_pad: int, n_steps: int, with_gap: bool):
     """Run ``n_steps`` FISTA iterations for one (n_pad, B_TILE) tile.
 
     ``beta_ref``: scalar-prefetched (max_iter,) momentum table; ``k0_ref``:
     (1,) burst offset into it. Everything else is VMEM-resident for the burst.
+    With ``with_gap`` the per-lane relative duality gap (ops/gap.py math) is
+    computed in-kernel against the already-resident Q — the certification
+    needs no separate pass over HBM.
     """
     tau = tau_ref[:]  # (1, BT) — broadcasts over the feature sublanes
     thr = thr_ref[:]
@@ -71,11 +75,15 @@ def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
     c = c_ref[:]
     k0 = k0_ref[0]
 
+    def matvec(V):
+        out = jnp.zeros_like(V)
+        for j in range(n_pad):  # static unroll: n_pad (8, BT)-wide FMAs
+            out += Q[j] * V[j : j + 1, :]
+        return out
+
     def step(k, carry):
         X, Y = carry
-        grad = a2 * Y - c
-        for j in range(n_pad):  # static unroll: n_pad (8, BT)-wide FMAs
-            grad += Q[j] * Y[j : j + 1, :]
+        grad = matvec(Y) + a2 * Y - c
         V = Y - tau * grad
         Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - thr, 0.0)
         beta = beta_ref[k0 + k]
@@ -85,6 +93,31 @@ def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
     X, Y = jax.lax.fori_loop(0, n_steps, step, (X_ref[:], Y_ref[:]))
     Xo_ref[:] = X
     Yo_ref[:] = Y
+
+    if with_gap:
+        # mirrors batch/fista_gram.py:_rel_gap, reductions over sublanes
+        a1 = a1_ref[:]
+        btb = btb_ref[:]
+        QX = matvec(X)
+        red = lambda v: jnp.sum(v, axis=0, keepdims=True)
+        xQx = red(X * QX)
+        cx = red(c * X)
+        xx = red(X * X)
+        l1 = red(jnp.abs(X))
+        u = QX - c + a2 * X
+        u_inf = jnp.max(jnp.abs(u), axis=0, keepdims=True)
+        uu = red(u * u)
+        rr = jnp.maximum(xQx - 2.0 * cx + btb, 0.0)
+        rb = cx - btb
+        f = 0.5 * rr + 0.5 * a2 * xx + a1 * l1
+        s = jnp.where(u_inf > a1, a1 / jnp.maximum(u_inf, 1e-30), 1.0)
+        dual_neg = 0.5 * (s * s) * rr + s * rb + 0.5 * a2 * (s * s) * xx
+        l1_gap = jnp.maximum(f + dual_neg, 0.0)
+        smooth_gap = uu / jnp.where(a2 > 0, 2.0 * a2, 1.0)
+        gap = jnp.where(a1 > 0, l1_gap, smooth_gap)
+        gap_ref[:] = gap / jnp.maximum(f, 1.0)
+    else:
+        gap_ref[:] = jnp.zeros_like(gap_ref)
 
 
 def momentum_betas(k0: int, n_steps: int, t0: float, cfg: BatchFISTAConfig):
@@ -105,11 +138,17 @@ def momentum_betas(k0: int, n_steps: int, t0: float, cfg: BatchFISTAConfig):
     return jnp.asarray(betas), t
 
 
-def _burst(betas, k0, Q, c, tau, thr, a2, X, Y, *, n_pad, b_tile, n_steps, interpret):
-    """One kernel launch advancing every tile by ``n_steps`` iterations."""
+def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, *, n_pad, b_tile,
+           n_steps, interpret, with_gap=False):
+    """One kernel launch advancing every tile by ``n_steps`` iterations.
+
+    Returns ``(X, Y, gap)`` — ``gap`` is the in-kernel per-lane relative
+    duality gap when ``with_gap``, else zeros."""
     B = Q.shape[-1]
     grid = (B // b_tile,)
-    kern = functools.partial(_fista_tile_kernel, n_pad=n_pad, n_steps=n_steps)
+    kern = functools.partial(
+        _fista_tile_kernel, n_pad=n_pad, n_steps=n_steps, with_gap=with_gap
+    )
     vec = lambda r: pl.BlockSpec(
         (r, b_tile), lambda i, *prefetch: (0, i), memory_space=pltpu.VMEM
     )
@@ -126,10 +165,12 @@ def _burst(betas, k0, Q, c, tau, thr, a2, X, Y, *, n_pad, b_tile, n_steps, inter
             vec(1),  # tau
             vec(1),  # thr
             vec(1),  # a2
+            vec(1),  # a1
+            vec(1),  # btb
             vec(n_pad),  # X
             vec(n_pad),  # Y
         ],
-        out_specs=[vec(n_pad), vec(n_pad)],
+        out_specs=[vec(n_pad), vec(n_pad), vec(1)],
     )
     return pl.pallas_call(
         kern,
@@ -137,9 +178,10 @@ def _burst(betas, k0, Q, c, tau, thr, a2, X, Y, *, n_pad, b_tile, n_steps, inter
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, B), Q.dtype),
             jax.ShapeDtypeStruct((n_pad, B), Q.dtype),
+            jax.ShapeDtypeStruct((1, B), Q.dtype),
         ],
         interpret=interpret,
-    )(betas, k0, Q, c, tau, thr, a2, X, Y)
+    )(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y)
 
 
 def _pad_batch(gb: GramBatch, b_tile: int) -> tuple[GramBatch, int]:
@@ -182,18 +224,20 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, *,
     """The full certified solve as one device program (single host sync)."""
     B = Q.shape[-1]
     dtype = Q.dtype
-    gb = GramBatch(Q=Q, c=c, btb=btb, alpha1=alpha1, alpha2=a2v, L=alpha1)
+    a1row = alpha1[None, :].astype(dtype)
+    btbrow = btb[None, :].astype(dtype)
 
     def burst(state: _VmemState) -> _VmemState:
-        X, Y = _burst(
+        X, Y, gvec = _burst(
             betas, state.k[None].astype(jnp.int32), Q, c, tau, thr, a2,
-            state.X, state.Y,
+            a1row, btbrow, state.X, state.Y,
             n_pad=n_pad, b_tile=b_tile, n_steps=chunk, interpret=interpret,
+            with_gap=certify,
         )
         k = state.k + chunk
         if not certify:
             return _VmemState(X, Y, k, state.done, state.iters, state.gap)
-        g = _rel_gap(gb, X)
+        g = gvec[0]  # in-kernel per-lane relative duality gap
         # quarantine non-finite lanes (failure detection) so the loop exits
         failed = ~jnp.all(jnp.isfinite(X), axis=0) | jnp.isnan(g)
         g = jnp.where(failed, jnp.inf, g)
@@ -222,6 +266,7 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, *,
         gap = state.gap
     else:
         state = jax.lax.fori_loop(0, n_bursts, lambda i, s: burst(s), state)
+        gb = GramBatch(Q=Q, c=c, btb=btb, alpha1=alpha1, alpha2=a2v, L=alpha1)
         gap = _rel_gap(gb, state.X)
         state = state._replace(
             gap=gap, done=gap <= tol, iters=jnp.full((B,), state.k, jnp.int32)
@@ -333,15 +378,18 @@ def fista_gram_vmem_sharded(
 
     def local_solve(betas, Q, c, btb, alpha1, a2v, tau, thr, a2):
         Bl = Q.shape[-1]
-        gbl = GramBatch(Q=Q, c=c, btb=btb, alpha1=alpha1, alpha2=a2v, L=alpha1)
+        a1row = alpha1[None, :].astype(Q.dtype)
+        btbrow = btb[None, :].astype(Q.dtype)
 
         def burst(i, s):
-            X, Y = _burst(
-                betas, s.k[None].astype(jnp.int32), Q, c, tau, thr, a2, s.X, s.Y,
+            X, Y, gvec = _burst(
+                betas, s.k[None].astype(jnp.int32), Q, c, tau, thr, a2,
+                a1row, btbrow, s.X, s.Y,
                 n_pad=n_pad, b_tile=b_tile, n_steps=chunk, interpret=interpret,
+                with_gap=True,
             )
             k = s.k + chunk
-            g = _rel_gap(gbl, X)
+            g = gvec[0]
             failed = ~jnp.all(jnp.isfinite(X), axis=0) | jnp.isnan(g)
             g = jnp.where(failed, jnp.inf, g)
             newly = (~s.done) & ((g <= cfg.rel_gap_tol) | failed)
