@@ -1,5 +1,6 @@
 from .api import stack_problems, solve_batch, batch_lipschitz
-from .fista_gram import fista_gram_batch, GramBatch, make_gram_batch
+from .fista_gram import fista_gram_batch, GramBatch, make_gram_batch, init_batch_state
+from .path import lasso_path, alpha_ladder, alpha_max_for, path_gram_batch
 
 __all__ = [
     "stack_problems",
@@ -8,4 +9,9 @@ __all__ = [
     "fista_gram_batch",
     "GramBatch",
     "make_gram_batch",
+    "init_batch_state",
+    "lasso_path",
+    "alpha_ladder",
+    "alpha_max_for",
+    "path_gram_batch",
 ]
