@@ -92,5 +92,5 @@ def lipschitz_for(problem, key: Array | None = None, n_iter: int = 100, tol: flo
     else:
         L = estimate_lipschitz(problem.A, key, n_iter, tol)
     if getattr(problem, "ridge_in_smooth", True):
-        L = L + problem.alpha2
+        L = L + getattr(problem, "alpha2", 0.0)
     return L

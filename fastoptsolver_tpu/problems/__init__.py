@@ -1,6 +1,11 @@
 from .base import CustomProblem, fold_alphas, REG_TYPES
 from .least_squares import LeastSquares, GramLeastSquares, LogisticRegression
 from .boston import load_boston_csv, synthetic_boston
+from .extensions import (
+    NonNegativeLeastSquares,
+    GroupLassoLeastSquares,
+    BoxConstrainedLeastSquares,
+)
 from .generators import (
     generate_boston_like,
     generate_scenario,
@@ -10,6 +15,9 @@ from .generators import (
 )
 
 __all__ = [
+    "NonNegativeLeastSquares",
+    "GroupLassoLeastSquares",
+    "BoxConstrainedLeastSquares",
     "load_boston_csv",
     "synthetic_boston",
     "CustomProblem",

@@ -1,0 +1,141 @@
+"""Additional composite problem families beyond the reference's three.
+
+All are thin problem-pytree constructors over the same protocol, so every
+solver (ISTA/FISTA/FISTA-Δ, and L-BFGS for the smooth parts) and every
+driver (vmap batching, sharding) works on them unchanged:
+
+- :class:`NonNegativeLeastSquares` — ``h = indicator(x ≥ 0)`` (projection
+  prox), optionally with L1;
+- :class:`GroupLassoLeastSquares` — ``h = α_g Σ_g ‖x_g‖₂`` over contiguous
+  equal-size groups (block soft threshold prox);
+- :class:`BoxConstrainedLeastSquares` — ``h = indicator(l ≤ x ≤ u)``.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..ops.prox import prox_box, prox_group_lasso, prox_nonneg, soft_threshold
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _LSBase:
+    A: Array
+    b: Array
+
+    @property
+    def dim(self) -> int:
+        return self.A.shape[-1]
+
+    def residual(self, x: Array) -> Array:
+        return self.A @ x - self.b
+
+    def smooth_value(self, x: Array) -> Array:
+        r = self.residual(x)
+        return 0.5 * (r @ r)
+
+    def smooth_grad(self, x: Array) -> Array:
+        return self.A.T @ self.residual(x)
+
+    def smooth_value_and_grad(self, x: Array):
+        r = self.residual(x)
+        return 0.5 * (r @ r), self.A.T @ r
+
+    def objective(self, x: Array) -> Array:
+        return self.smooth_value(x) + self.nonsmooth_value(x)
+
+    def x0(self) -> Array:
+        return jnp.zeros(self.dim, dtype=self.A.dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NonNegativeLeastSquares(_LSBase):
+    """``min ½‖Ax−b‖² + α₁‖x‖₁  s.t. x ≥ 0`` (α₁ = 0 gives plain NNLS)."""
+
+    alpha1: Array = 0.0
+
+    @classmethod
+    def create(cls, A, b, alpha1: float = 0.0, dtype=jnp.float32):
+        return cls(
+            A=jnp.asarray(A, dtype),
+            b=jnp.asarray(b, dtype),
+            alpha1=jnp.asarray(alpha1, dtype),
+        )
+
+    def prox(self, v: Array, tau: Array) -> Array:
+        # prox of (L1 + nonneg indicator) = max(v − τα₁, 0)
+        return prox_nonneg(v - tau * self.alpha1)
+
+    def nonsmooth_value(self, x: Array) -> Array:
+        # indicator contributes 0 on the feasible set; solvers only evaluate
+        # at prox outputs, which are feasible
+        return self.alpha1 * jnp.sum(jnp.abs(x))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GroupLassoLeastSquares(_LSBase):
+    """``min ½‖Ax−b‖² + α_g Σ_g ‖x_g‖₂`` over contiguous groups of size
+    ``group_size`` (n must divide evenly)."""
+
+    alpha_g: Array = 1.0
+    group_size: int = dataclasses.field(default=1, metadata=dict(static=True))
+
+    @classmethod
+    def create(cls, A, b, alpha_g: float, group_size: int, dtype=jnp.float32):
+        A = jnp.asarray(A, dtype)
+        if A.shape[-1] % group_size:
+            raise ValueError(
+                f"n={A.shape[-1]} not divisible by group_size={group_size}"
+            )
+        return cls(
+            A=A,
+            b=jnp.asarray(b, dtype),
+            alpha_g=jnp.asarray(alpha_g, dtype),
+            group_size=group_size,
+        )
+
+    def _grouped(self, x: Array) -> Array:
+        return x.reshape(-1, self.group_size)
+
+    def prox(self, v: Array, tau: Array) -> Array:
+        out = prox_group_lasso(self._grouped(v), tau * self.alpha_g, axis=-1)
+        return out.reshape(-1)
+
+    def nonsmooth_value(self, x: Array) -> Array:
+        return self.alpha_g * jnp.sum(
+            jnp.linalg.norm(self._grouped(x), axis=-1)
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BoxConstrainedLeastSquares(_LSBase):
+    """``min ½‖Ax−b‖²  s.t. lower ≤ x ≤ upper``."""
+
+    lower: Array = -1.0
+    upper: Array = 1.0
+
+    @classmethod
+    def create(cls, A, b, lower, upper, dtype=jnp.float32):
+        return cls(
+            A=jnp.asarray(A, dtype),
+            b=jnp.asarray(b, dtype),
+            lower=jnp.asarray(lower, dtype),
+            upper=jnp.asarray(upper, dtype),
+        )
+
+    def prox(self, v: Array, tau: Array) -> Array:
+        return prox_box(v, lower=self.lower, upper=self.upper)
+
+    def nonsmooth_value(self, x: Array) -> Array:
+        return jnp.zeros((), x.dtype)
+
+    def x0(self) -> Array:
+        z = jnp.zeros(self.dim, dtype=self.A.dtype)
+        return jnp.clip(z, self.lower, self.upper)
