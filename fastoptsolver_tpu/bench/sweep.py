@@ -190,8 +190,16 @@ def main(argv=None):
         help="solve in float32 (TPU-native); default is float64 so the "
         "suboptimality curves resolve the reference's 1e-7 floors",
     )
+    ap.add_argument(
+        "--tpu", action="store_true",
+        help="run on the default (TPU) platform; by default the sweep forces "
+        "CPU — it is an analysis artifact and must not contend for the one "
+        "real chip (see CLAUDE.md)",
+    )
     args = ap.parse_args(argv)
 
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
     dtype = jnp.float32
     if not args.f32:
         jax.config.update("jax_enable_x64", True)

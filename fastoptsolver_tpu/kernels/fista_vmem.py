@@ -302,31 +302,60 @@ def fista_gram_vmem(
         raise NotImplementedError(
             "adaptive restart runs on the XLA driver (batch/fista_gram.py)"
         )
+    n, B_orig = gb.c.shape
+    n_pad = _round_up(max(n, SUBLANE), SUBLANE)
     if b_tile is None:
-        b_tile = auto_b_tile(_round_up(max(gb.c.shape[0], SUBLANE), SUBLANE))
-    gbp, B_orig = _pad_batch(gb, min(b_tile, _round_up(gb.c.shape[1], LANE)))
-    n_pad, B = gbp.c.shape
-    b_tile = min(b_tile, B)
-    dtype = gbp.c.dtype
+        b_tile = auto_b_tile(n_pad)
+    b_tile = min(b_tile, _round_up(B_orig, LANE))
+    B = _round_up(B_orig, b_tile)
 
     certify = cfg.check_every > 0
     chunk = cfg.check_every if certify else cfg.max_iter
     n_bursts = -(-cfg.max_iter // chunk)
-
     betas, _ = momentum_betas(0, n_bursts * chunk, 1.0, cfg)
-    tau = (cfg.t_init_factor / gbp.L).astype(dtype)[None, :]
-    thr = tau * gbp.alpha1[None, :]
-    a2 = gbp.alpha2[None, :].astype(dtype)
+
+    # Everything from padding to the final slice is ONE jitted program: each
+    # eager op here would cost a full dispatch round-trip over the TPU tunnel.
+    return _pad_and_solve(
+        betas, gb.Q, gb.c, gb.btb, gb.alpha1, gb.alpha2, gb.L,
+        pn=n_pad - n, pB=B - B_orig, n_pad=n_pad, b_tile=b_tile, chunk=chunk,
+        n_bursts=n_bursts, tol=cfg.rel_gap_tol, interpret=interpret,
+        certify=certify, t_init_factor=cfg.t_init_factor,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pn", "pB", "n_pad", "b_tile", "chunk", "n_bursts", "tol",
+        "interpret", "certify", "t_init_factor",
+    ),
+)
+def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
+                   b_tile, chunk, n_bursts, tol, interpret, certify,
+                   t_init_factor) -> BatchResult:
+    n, B_orig = c.shape
+    if pn or pB:
+        Q = jnp.pad(Q, ((0, pn), (0, pn), (0, pB)))
+        c = jnp.pad(c, ((0, pn), (0, pB)))
+        btb = jnp.pad(btb, (0, pB))
+        alpha1 = jnp.pad(alpha1, (0, pB))
+        alpha2 = jnp.pad(alpha2, (0, pB))
+        L = jnp.pad(L, (0, pB), constant_values=1.0)
+    dtype = c.dtype
+    tau = (t_init_factor / L).astype(dtype)[None, :]
+    thr = tau * alpha1[None, :]
+    a2 = alpha2[None, :].astype(dtype)
 
     state = _solve_on_device(
-        betas, gbp.Q, gbp.c, gbp.btb, gbp.alpha1, gbp.alpha2, tau, thr, a2,
+        betas, Q, c, btb, alpha1, alpha2, tau, thr, a2,
         n_pad=n_pad, b_tile=b_tile, chunk=chunk, n_bursts=n_bursts,
-        tol=cfg.rel_gap_tol, interpret=interpret, certify=certify,
+        tol=tol, interpret=interpret, certify=certify,
     )
     sl = slice(0, B_orig)
     failed = ~jnp.all(jnp.isfinite(state.X[:, sl]), axis=0)
     return BatchResult(
-        x=state.X[: gb.c.shape[0], sl].T,
+        x=state.X[:n, sl].T,
         iters=state.iters[sl],
         rel_gap=state.gap[sl],
         n_iters_total=state.k,
