@@ -22,11 +22,13 @@ import jax.numpy as jnp
 
 from .problems import LeastSquares
 from .solvers import (
+    ADMMConfig,
     CDConfig,
     FISTAConfig,
     ISTAConfig,
     LBFGSConfig,
     SolveResult,
+    admm,
     cd,
     fista,
     fista_with_history,
@@ -42,6 +44,7 @@ _METHODS = {
     "ista": (ISTAConfig, ista, ista_with_history),
     "lbfgs": (LBFGSConfig, lbfgs, lbfgs_with_history),
     "cd": (CDConfig, cd, None),
+    "admm": (ADMMConfig, admm, None),
 }
 
 
@@ -88,6 +91,6 @@ def solve(
         if method in ("lbfgs",):
             return run_hist(problem, config, x0=x0)
         return run_hist(problem, config, x0=x0, key=key)
-    if method in ("lbfgs", "cd"):
+    if method in ("lbfgs", "cd", "admm"):
         return run(problem, config, x0=x0)
     return run(problem, config, x0=x0, key=key)

@@ -16,6 +16,7 @@ from .matvec import (
     col_sharded_rmatvec,
     col_sharded_normal_grad,
 )
+from .admm import consensus_admm
 from .problem import DistributedLeastSquares, shard_gram_batch
 
 __all__ = [
@@ -35,4 +36,5 @@ __all__ = [
     "col_sharded_normal_grad",
     "DistributedLeastSquares",
     "shard_gram_batch",
+    "consensus_admm",
 ]

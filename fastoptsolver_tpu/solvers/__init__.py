@@ -1,4 +1,5 @@
 from .common import Metrics, History, SolveResult, LineSearchConfig, ARMIJO_C
+from .admm import ADMMConfig, ADMMResult, admm
 from .cd import CDConfig, cd, certified_optimum
 from .lbfgs import LBFGSConfig, lbfgs, lbfgs_with_history
 from .ista import ISTAConfig, ista, ista_with_history
@@ -12,6 +13,9 @@ from .fista import (
 )
 
 __all__ = [
+    "ADMMConfig",
+    "ADMMResult",
+    "admm",
     "CDConfig",
     "cd",
     "certified_optimum",
