@@ -27,6 +27,7 @@ from .solvers import (
     FISTAConfig,
     ISTAConfig,
     LBFGSConfig,
+    OWLQNConfig,
     SolveResult,
     admm,
     cd,
@@ -36,6 +37,8 @@ from .solvers import (
     ista_with_history,
     lbfgs,
     lbfgs_with_history,
+    owlqn,
+    owlqn_with_history,
 )
 
 _METHODS = {
@@ -45,6 +48,7 @@ _METHODS = {
     "lbfgs": (LBFGSConfig, lbfgs, lbfgs_with_history),
     "cd": (CDConfig, cd, None),
     "admm": (ADMMConfig, admm, None),
+    "owlqn": (OWLQNConfig, owlqn, owlqn_with_history),
 }
 
 
@@ -88,9 +92,9 @@ def solve(
     if history:
         if run_hist is None:
             raise ValueError(f"method '{method}' has no history variant")
-        if method in ("lbfgs",):
+        if method in ("lbfgs", "owlqn"):
             return run_hist(problem, config, x0=x0)
         return run_hist(problem, config, x0=x0, key=key)
-    if method in ("lbfgs", "cd", "admm"):
+    if method in ("lbfgs", "cd", "admm", "owlqn"):
         return run(problem, config, x0=x0)
     return run(problem, config, x0=x0, key=key)

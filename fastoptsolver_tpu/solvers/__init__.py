@@ -2,6 +2,7 @@ from .common import Metrics, History, SolveResult, LineSearchConfig, ARMIJO_C
 from .admm import ADMMConfig, ADMMResult, admm
 from .cd import CDConfig, cd, certified_optimum
 from .lbfgs import LBFGSConfig, lbfgs, lbfgs_with_history
+from .owlqn import OWLQNConfig, owlqn, owlqn_with_history
 from .ista import ISTAConfig, ista, ista_with_history
 from .fista import (
     FISTAConfig,
@@ -22,6 +23,9 @@ __all__ = [
     "LBFGSConfig",
     "lbfgs",
     "lbfgs_with_history",
+    "OWLQNConfig",
+    "owlqn",
+    "owlqn_with_history",
     "Metrics",
     "History",
     "SolveResult",
