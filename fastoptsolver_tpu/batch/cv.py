@@ -1,0 +1,199 @@
+"""K-fold cross-validated lasso — the whole CV grid in ONE device call.
+
+Model selection is the missing top of the reference's workflow: its notebook
+sweeps scenarios and plots convergence (SURVEY.md §3.5) but never selects a
+regularization strength. Here the full (folds × α-ladder) grid — plus the
+full-data refit path — solves as a single certified batched FISTA call
+(batch/fista_gram.py), so cross-validating 5 folds × 50 αs costs one kernel
+dispatch, not 250 solver runs.
+
+TPU-first tricks:
+
+- **Gram subtraction**: each fold's *training* Gram is
+  ``Q_train_j = AᵀA − A_jᵀA_j`` (and likewise for ``c``, ``bᵀb``) — one full
+  Gram plus one batched fold-Gram einsum, instead of k rebuilds over
+  (k−1)/k of the rows. O(mn²) total work independent of k.
+- Fold remainder rows (m mod k) join every training set and no validation
+  set, so no padding/masking enters the solve.
+- The (k+1)·K instances (k fold-train problems + 1 full-data problem, each
+  crossed with the α ladder) ride the feature-major ``GramBatch`` layout, so
+  the best-α refit and the full coefficient path come out of the same call.
+- Validation MSE is two einsums; α selection is an argmin on device. The
+  optional "one-standard-error rule" picks the sparsest α within one SE of
+  the minimum (the classic Hastie/Tibshirani recommendation).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..ops.lipschitz import estimate_lipschitz_gram
+from .fista_gram import BatchFISTAConfig, GramBatch, fista_gram_batch
+
+
+class CVResult(NamedTuple):
+    alphas: Array  # (K,) descending
+    mse_path: Array  # (k_folds, K) per-fold validation MSE
+    mse_mean: Array  # (K,)
+    mse_se: Array  # (K,) standard error across folds
+    best_alpha: Array  # argmin of mse_mean (or 1-SE rule)
+    best_idx: Array
+    coef: Array  # (n,) full-data solution at best_alpha
+    coef_path: Array  # (K, n) full-data path
+    coef_folds: Array  # (k_folds, K, n) per-fold training solutions
+    converged: Array  # bool: every instance certified
+    intercept: Array  # scalar (0 unless fit_intercept)
+    rel_gap: Array  # (k_folds+1, K) per-instance certified relative gap
+    converged_grid: Array  # (k_folds+1, K) per-instance certification
+
+
+def _ladder(amax: Array, n_alphas: int, eps: float, dtype) -> Array:
+    """Geometric ladder α_max → eps·α_max, computed on device (jit-safe)."""
+    t = jnp.arange(n_alphas, dtype=dtype) / max(n_alphas - 1, 1)
+    return amax * (eps**t)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_folds", "n_alphas", "cfg", "one_se_rule")
+)
+def _cv_core(
+    A: Array,
+    b: Array,
+    alphas_in,
+    k_folds: int,
+    n_alphas: int,
+    eps: float,
+    alpha2,
+    cfg: BatchFISTAConfig,
+    one_se_rule: bool,
+) -> CVResult:
+    m, n = A.shape
+    dtype = A.dtype
+    f = m // k_folds  # fold size; the m % k tail joins every training set
+
+    A_folds = A[: k_folds * f].reshape(k_folds, f, n)
+    b_folds = b[: k_folds * f].reshape(k_folds, f)
+
+    # Full-data Gram (includes tail rows) and per-fold Grams, once each.
+    Q_full = A.T @ A
+    c_full = A.T @ b
+    btb_full = b @ b
+    Qf = jnp.einsum("kfi,kfj->kij", A_folds, A_folds)
+    cf = jnp.einsum("kfi,kf->ki", A_folds, b_folds)
+    btbf = jnp.einsum("kf,kf->k", b_folds, b_folds)
+
+    # Gram subtraction: training set of fold j = everything except fold j.
+    Q_train = Q_full[None] - Qf  # (k, n, n)
+    c_train = c_full[None] - cf  # (k, n)
+    btb_train = btb_full - btbf  # (k,)
+
+    if alphas_in is None:
+        amax = jnp.max(jnp.abs(c_full))
+        alphas = _ladder(amax, n_alphas, eps, dtype)
+    else:
+        alphas = jnp.sort(jnp.asarray(alphas_in, dtype))[::-1]
+    K = alphas.shape[0]
+
+    # Stack the k fold-train problems + the full-data problem; cross with αs.
+    Q_all = jnp.concatenate([Q_train, Q_full[None]], axis=0)  # (k+1, n, n)
+    c_all = jnp.concatenate([c_train, c_full[None]], axis=0)
+    btb_all = jnp.concatenate([btb_train, btb_full[None]], axis=0)
+    L_all = jax.vmap(estimate_lipschitz_gram)(Q_all)
+
+    B = (k_folds + 1) * K
+    a2 = jnp.asarray(alpha2, dtype)
+    gb = GramBatch(
+        Q=jnp.repeat(Q_all, K, axis=0).transpose(1, 2, 0),  # (n, n, B)
+        c=jnp.repeat(c_all, K, axis=0).T,  # (n, B)
+        btb=jnp.repeat(btb_all, K),
+        alpha1=jnp.tile(alphas, k_folds + 1),
+        alpha2=jnp.full((B,), a2, dtype),
+        L=jnp.repeat(L_all, K) + a2,
+    )
+    res = fista_gram_batch(gb, cfg)
+
+    X = res.x.reshape(k_folds + 1, K, n)
+    X_folds, X_full = X[:k_folds], X[k_folds]
+
+    # Validation: fold j's models predict fold j's held-out rows.
+    preds = jnp.einsum("kfi,kKi->kKf", A_folds, X_folds)
+    mse_path = jnp.mean((preds - b_folds[:, None, :]) ** 2, axis=-1)  # (k, K)
+    mse_mean = jnp.mean(mse_path, axis=0)
+    mse_se = jnp.std(mse_path, axis=0, ddof=1) / jnp.sqrt(
+        jnp.asarray(k_folds, dtype)
+    )
+
+    i_min = jnp.argmin(mse_mean)
+    if one_se_rule:
+        # Largest α (most regularization → sparsest model) whose mean MSE is
+        # within one standard error of the minimum. αs are descending, so
+        # that's the smallest qualifying index.
+        ok = mse_mean <= mse_mean[i_min] + mse_se[i_min]
+        best_idx = jnp.argmax(ok)  # first True
+    else:
+        best_idx = i_min
+
+    return CVResult(
+        alphas=alphas,
+        mse_path=mse_path,
+        mse_mean=mse_mean,
+        mse_se=mse_se,
+        best_alpha=alphas[best_idx],
+        best_idx=best_idx,
+        coef=X_full[best_idx],
+        coef_path=X_full,
+        coef_folds=X_folds,
+        converged=jnp.all(res.converged),
+        intercept=jnp.zeros((), dtype),
+        rel_gap=res.rel_gap.reshape(k_folds + 1, K),
+        converged_grid=res.converged.reshape(k_folds + 1, K),
+    )
+
+
+def cv_lasso(
+    A,
+    b,
+    k_folds: int = 5,
+    alphas=None,
+    n_alphas: int = 50,
+    eps: float = 1e-3,
+    alpha2: float = 0.0,
+    key: Array | None = None,
+    cfg: BatchFISTAConfig = BatchFISTAConfig(max_iter=2000, check_every=25),
+    one_se_rule: bool = False,
+    fit_intercept: bool = False,
+    dtype=jnp.float32,
+) -> CVResult:
+    """Cross-validated lasso (elastic-net with ``alpha2 > 0``).
+
+    ``key`` shuffles rows before folding (recommended for ordered data);
+    folds are contiguous row blocks after the shuffle. ``one_se_rule=True``
+    applies the one-standard-error selection. ``fit_intercept=True`` centers
+    ``A``'s columns and ``b`` first (the standard unpenalized-intercept
+    treatment) and reports the intercept for the refit coefficients.
+    One compiled program per (shape, config); re-calls with fresh data are
+    dispatch-only.
+    """
+    A = jnp.asarray(A, dtype)
+    b = jnp.asarray(b, dtype)
+    if key is not None:
+        perm = jax.random.permutation(key, A.shape[0])
+        A, b = A[perm], b[perm]
+    mu_A = mu_b = None
+    if fit_intercept:
+        mu_A = A.mean(axis=0)
+        mu_b = b.mean()
+        A = A - mu_A
+        b = b - mu_b
+    if alphas is not None:
+        n_alphas = len(alphas)
+    res = _cv_core(
+        A, b, alphas, k_folds, n_alphas, eps, alpha2, cfg, one_se_rule
+    )
+    if fit_intercept:
+        res = res._replace(intercept=mu_b - mu_A @ res.coef)
+    return res
