@@ -3,6 +3,7 @@ from .admm import ADMMConfig, ADMMResult, admm
 from .cd import CDConfig, cd, certified_optimum
 from .lbfgs import LBFGSConfig, lbfgs, lbfgs_with_history
 from .owlqn import OWLQNConfig, owlqn, owlqn_with_history
+from .svrg import SVRGConfig, prox_svrg
 from .ista import ISTAConfig, ista, ista_with_history
 from .fista import (
     FISTAConfig,
@@ -26,6 +27,8 @@ __all__ = [
     "OWLQNConfig",
     "owlqn",
     "owlqn_with_history",
+    "SVRGConfig",
+    "prox_svrg",
     "Metrics",
     "History",
     "SolveResult",
