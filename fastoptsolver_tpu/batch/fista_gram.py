@@ -126,14 +126,24 @@ class BatchFISTAConfig:
     check_every: int = 10  # duality-gap check cadence (0 = never, run max_iter)
     rel_gap_tol: float = 1e-6
     t_init_factor: float = 1.0
-    momentum: str = "nesterov"  # "nesterov" | "delta"
+    momentum: str = "nesterov"  # "nesterov" | "delta" | "greedy"
     delta: float = 3.0
     adaptive_restart: bool = False
     restart_threshold: float = 1.0
+    # "greedy" mode (Liang & Schönlieb 2018, arXiv:1811.01430 — PAPERS.md):
+    # overshoot the step to ξ/L with unit momentum, restart on the gradient-
+    # mapping angle test, and shrink τ back toward 1/L when steps grow.
+    greedy_xi: float = 1.3  # initial step τ = ξ/L, ξ ∈ (1, 2)
+    greedy_S: float = 1.02  # safeguard: shrink when ‖Δx_k‖ > S·‖Δx_1‖
+    greedy_shrink: float = 0.96
 
     def __post_init__(self):
         if self.momentum == "delta" and not self.delta > 2:
             raise ValueError("FISTA-Δ requires delta > 2")
+        if self.momentum not in ("nesterov", "delta", "greedy"):
+            raise ValueError(f"Unknown momentum '{self.momentum}'")
+        if self.momentum == "greedy" and not 1.0 <= self.greedy_xi < 2.0:
+            raise ValueError("greedy FISTA requires 1 <= greedy_xi < 2")
 
 
 class BatchState(NamedTuple):
@@ -145,6 +155,8 @@ class BatchState(NamedTuple):
     iters: Array  # (B,) int32 — iteration count at convergence
     gap: Array  # (B,) last measured relative gap
     k: Array  # scalar int32
+    tau: Array  # (B,) per-lane step (greedy mode shrinks it; 0 = fill from L)
+    first_step: Array  # (B,) ‖x_1 − x_0‖, the greedy safeguard reference
 
 
 class BatchResult(NamedTuple):
@@ -179,20 +191,44 @@ def _rel_gap(gb: GramBatch, X: Array) -> Array:
     return gap / jnp.maximum(f, 1.0)
 
 
-def _iterate_block(gb: GramBatch, cfg: BatchFISTAConfig, tau: Array, state: BatchState,
+def _iterate_block(gb: GramBatch, cfg: BatchFISTAConfig, state: BatchState,
                    n_steps: int) -> BatchState:
     """Run ``n_steps`` lockstep FISTA iterations; converged lanes frozen."""
+    tau_min = (1.0 / gb.L).astype(gb.c.dtype)  # greedy shrink floor
 
     def one(_, s: BatchState) -> BatchState:
         grad = jnp.einsum("ijb,jb->ib", gb.Q, s.Y) - gb.c + gb.alpha2 * s.Y
-        X_next = soft_threshold(s.Y - tau * grad, tau * gb.alpha1)
+        X_next = soft_threshold(s.Y - s.tau * grad, s.tau * gb.alpha1)
         this_step = jnp.sqrt(jnp.sum((X_next - s.X) ** 2, axis=0))
+        tau_next = s.tau
+        first_step = s.first_step
 
         if cfg.momentum == "delta":
             k_ref = (s.k + 1).astype(X_next.dtype)
             theta = k_ref / (k_ref + 1.0 + cfg.delta)
             Y_next = X_next + theta * (X_next - s.X)
             t_next = s.t
+        elif cfg.momentum == "greedy":
+            # Unit momentum with a gradient-mapping restart: reset y to x
+            # when ⟨y_k − x_{k+1}, x_{k+1} − x_k⟩ ≥ 0 (the step turned
+            # against the previous movement direction).
+            Y_next = X_next + (X_next - s.X)
+            restart = jnp.sum((s.Y - X_next) * (X_next - s.X), axis=0) >= 0.0
+            Y_next = jnp.where(restart[None, :], X_next, Y_next)
+            t_next = s.t
+            # Safeguard: the overshot step ξ/L is only locally safe; once
+            # steps grow past S·‖Δx_1‖, shrink τ toward the safe 1/L.
+            first_step = jnp.where(s.first_step == 0.0, this_step, s.first_step)
+            grow = this_step > cfg.greedy_S * first_step
+            # Shrink on growth AND on restarts: a lane that keeps restarting
+            # is oscillating from the overshoot — decay its τ toward the safe
+            # 1/L so the tail lanes degrade gracefully into plain FISTA
+            # instead of jittering above the certification tolerance forever.
+            tau_next = jnp.where(
+                grow | restart,
+                jnp.maximum(cfg.greedy_shrink * s.tau, tau_min),
+                s.tau,
+            )
         else:
             t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * s.t**2))
             beta = (s.t - 1.0) / t_next
@@ -217,6 +253,8 @@ def _iterate_block(gb: GramBatch, cfg: BatchFISTAConfig, tau: Array, state: Batc
             iters=s.iters + live.astype(jnp.int32),
             gap=s.gap,
             k=s.k + 1,
+            tau=jnp.where(live, tau_next, s.tau),
+            first_step=jnp.where(live, first_step, s.first_step),
         )
 
     return jax.lax.fori_loop(0, n_steps, one, state)
@@ -233,6 +271,10 @@ def init_batch_state(gb: GramBatch) -> BatchState:
         iters=jnp.zeros((B,), jnp.int32),
         gap=jnp.full((B,), jnp.inf, gb.c.dtype),
         k=jnp.zeros((), jnp.int32),
+        # tau=0 is a sentinel: fista_gram_batch fills it from (cfg, L) — so
+        # states built here resume correctly under any momentum mode.
+        tau=jnp.zeros((B,), gb.c.dtype),
+        first_step=jnp.zeros((B,), gb.c.dtype),
     )
 
 
@@ -250,14 +292,17 @@ def fista_gram_batch(
     including the resumed ones). With ``return_state`` the final state is
     returned alongside the result for checkpointing.
     """
-    tau = (cfg.t_init_factor / gb.L).astype(gb.c.dtype)
+    xi = cfg.greedy_xi if cfg.momentum == "greedy" else cfg.t_init_factor
+    tau0 = (xi / gb.L).astype(gb.c.dtype)
     if state0 is None:
         state0 = init_batch_state(gb)
+    # Fill the tau sentinel (fresh or init_batch_state-built resume states).
+    state0 = state0._replace(tau=jnp.where(state0.tau > 0.0, state0.tau, tau0))
 
     if cfg.check_every <= 0:
         # max_iter counts total iterations including any resumed-from state
         remaining = jnp.maximum(cfg.max_iter - state0.k, 0)
-        final = _iterate_block(gb, cfg, tau, state0, remaining)
+        final = _iterate_block(gb, cfg, state0, remaining)
         gap = _rel_gap(gb, final.X)
         failed = ~jnp.all(jnp.isfinite(final.X), axis=0) | jnp.isnan(gap)
         final = final._replace(gap=gap, done=(gap <= cfg.rel_gap_tol) & ~failed)
@@ -275,13 +320,26 @@ def fista_gram_batch(
         return (s.k < cfg.max_iter) & jnp.any(~s.done)
 
     def body(s: BatchState):
-        s = _iterate_block(gb, cfg, tau, s, cfg.check_every)
+        gap_before = s.gap
+        s = _iterate_block(gb, cfg, s, cfg.check_every)
         gap = _rel_gap(gb, s.X)
         # Failure detection: a lane whose iterate went non-finite (bad data,
         # underestimated Lipschitz ⇒ divergence) is quarantined — marked done
         # with gap=inf so the healthy lanes don't spin until max_iter.
         failed = ~jnp.all(jnp.isfinite(s.X), axis=0) | jnp.isnan(gap)
         newly_done = (~s.done) & ((gap <= cfg.rel_gap_tol) | failed)
+        if cfg.momentum == "greedy":
+            # Outer safeguard: the ξ/L overshoot can limit-cycle without ever
+            # triggering the restart test. A live lane whose certified gap
+            # did not improve over a whole check window gets its τ halved
+            # toward 1/L — stuck lanes provably degrade into plain FISTA.
+            stuck = (~s.done) & (gap > 0.9 * gap_before)
+            tau = jnp.where(
+                stuck,
+                jnp.maximum(0.5 * s.tau, (1.0 / gb.L).astype(s.tau.dtype)),
+                s.tau,
+            )
+            s = s._replace(tau=tau)
         return s._replace(
             done=s.done | newly_done,
             gap=jnp.where(s.done, s.gap, jnp.where(failed, jnp.inf, gap)),

@@ -201,3 +201,60 @@ def test_float32_gap_certification_is_trustworthy():
         f_got = float(p.objective(jnp.asarray(np.asarray(res.x[i], np.float64))))
         rel = (f_got - f_star) / max(f_star, 1.0)
         assert rel <= 3e-6, (i, rel)
+
+
+def test_greedy_fista_certifies_and_matches_nesterov():
+    """Greedy FISTA (arXiv:1811.01430) must certify every lane at the same
+    tolerance and land on the same solutions as plain Nesterov FISTA."""
+    rng = np.random.default_rng(3)
+    B, m, n = 64, 300, 8
+    A = jnp.asarray(rng.normal(size=(B, m, n)), jnp.float32)
+    xt = np.zeros((B, n), np.float32)
+    xt[:, :3] = rng.normal(size=(B, 3))
+    b = jnp.einsum("bmn,bn->bm", A, jnp.asarray(xt)) + 0.1 * jnp.asarray(
+        rng.normal(size=(B, m)), jnp.float32
+    )
+    a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("bmi,bm->bi", A, b)), axis=1)
+    gb = make_gram_batch(A, b, alpha1=a1, alpha2=0.0)
+    r_nes = fista_gram_batch(
+        gb, BatchFISTAConfig(max_iter=2000, check_every=25, rel_gap_tol=1e-6)
+    )
+    r_grd = fista_gram_batch(
+        gb,
+        BatchFISTAConfig(
+            max_iter=2000, check_every=25, rel_gap_tol=1e-6, momentum="greedy"
+        ),
+    )
+    assert bool(r_grd.converged.all())
+    np.testing.assert_allclose(
+        np.asarray(r_grd.x), np.asarray(r_nes.x), atol=2e-3
+    )
+
+
+def test_greedy_safeguard_recovers_stuck_lanes():
+    """A lane whose overshot step limit-cycles must be rescued by the
+    gap-based tau decay (it certifies instead of spinning to max_iter)."""
+    rng = np.random.default_rng(0)
+    # highly correlated design: the regime where the xi/L overshoot cycles
+    B, m, n = 16, 200, 12
+    z = rng.normal(size=(B, m, 1))
+    A = jnp.asarray(z + 0.05 * rng.normal(size=(B, m, n)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, m)), jnp.float32)
+    a1 = 0.2 * jnp.max(jnp.abs(jnp.einsum("bmi,bm->bi", A, b)), axis=1)
+    gb = make_gram_batch(A, b, alpha1=a1, alpha2=0.0)
+    res = fista_gram_batch(
+        gb,
+        BatchFISTAConfig(
+            max_iter=3000, check_every=25, rel_gap_tol=1e-5, momentum="greedy"
+        ),
+    )
+    assert bool(res.converged.all()), np.asarray(res.rel_gap)
+
+
+def test_greedy_config_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        BatchFISTAConfig(momentum="greedy", greedy_xi=2.5)
+    with pytest.raises(ValueError):
+        BatchFISTAConfig(momentum="bogus")
