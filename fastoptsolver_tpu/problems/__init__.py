@@ -1,5 +1,6 @@
 from .base import CustomProblem, fold_alphas, REG_TYPES
 from .least_squares import LeastSquares, GramLeastSquares, LogisticRegression
+from .sparse import SparseLeastSquares
 from .boston import load_boston_csv, synthetic_boston
 from .extensions import (
     NonNegativeLeastSquares,
@@ -15,6 +16,7 @@ from .generators import (
 )
 
 __all__ = [
+    "SparseLeastSquares",
     "NonNegativeLeastSquares",
     "GroupLassoLeastSquares",
     "BoxConstrainedLeastSquares",
