@@ -30,41 +30,41 @@ import functools
 def _build_problems(key, batch: int, m: int):
     """Scenario batch with per-instance noise/correlations spanning the
     reference grid, standardized columns, alpha1 = 0.1·‖Aᵀb‖∞ per instance.
-    One compiled program — eager op-by-op dispatch over the TPU tunnel costs
-    ~35 ms/op and made this stage look minutes-slow."""
-    from fastoptsolver_tpu.problems import generate_scenario_batch
+    Emits the framework's native feature-leading layout (n, m, B) directly —
+    no transpose pass over the GB-scale design tensor. One compiled program —
+    eager op-by-op dispatch over the TPU tunnel costs ~35 ms/op and made this
+    stage look minutes-slow."""
+    from fastoptsolver_tpu.problems import generate_scenario_batch_fm
 
     knoise, kr1, kr2, kgen = jax.random.split(key, 4)
     noise = jax.random.choice(knoise, jnp.asarray([0.5, 1.0, 2.0, 5.0]), (batch,))
     rho1 = jax.random.choice(kr1, jnp.asarray([0.5, 0.8]), (batch,))
     rho2 = jax.random.choice(kr2, jnp.asarray([0.7, 0.9]), (batch,))
-    A, b, _ = generate_scenario_batch(
+    A, b, _ = generate_scenario_batch_fm(
         kgen, batch, m=m, noise_std=noise, rho1=rho1, rho2=rho2, dtype=jnp.float32
     )
     # standardize features per instance (benchmark-standard lasso setup)
     mu = A.mean(axis=1, keepdims=True)
     sd = A.std(axis=1, keepdims=True)
     A = (A - mu) / sd
-    alpha1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("bmi,bm->bi", A, b)), axis=1)
+    alpha1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", A, b)), axis=0)
     return A, b, alpha1
 
 
 def _make_solver(max_iter: int, tol: float):
-    """Full pipeline: Gram precompute + Lipschitz power iteration (XLA, one
-    jit) and the VMEM-resident Pallas FISTA solve with on-device gap
-    certification (one jit) — two device dispatches total. The jitted
-    builder is created once (a fresh jax.jit per call would recompile)."""
-    from fastoptsolver_tpu.batch import make_gram_batch
+    """Full pipeline, two Pallas kernels in one jit per call: the fused
+    Gram-build kernel (one streaming pass over A computing the symmetric
+    Gram + c + bᵀb with the Lipschitz power iteration in-kernel —
+    kernels/gram_build.py) feeding the VMEM-resident FISTA solve with
+    on-device gap certification (kernels/fista_vmem.py). No host round-trips
+    until the final result fetch."""
     from fastoptsolver_tpu.batch.fista_gram import BatchFISTAConfig
-    from fastoptsolver_tpu.kernels import fista_gram_vmem
+    from fastoptsolver_tpu.kernels import fista_gram_vmem, make_gram_batch_fused
 
-    build = jax.jit(
-        lambda A, b, a1: make_gram_batch(A, b, alpha1=a1, alpha2=0.0, power_iters=40)
-    )
     cfg = BatchFISTAConfig(max_iter=max_iter, check_every=25, rel_gap_tol=tol)
 
     def solve(A, b, alpha1):
-        return fista_gram_vmem(build(A, b, alpha1), cfg)
+        return fista_gram_vmem(make_gram_batch_fused(A, b, alpha1, 0.0), cfg)
 
     return solve
 
@@ -87,14 +87,30 @@ def main():
     # warmup/compile
     res = solve(A, b, alpha1)
     res.x.block_until_ready()
-    n_conv = int(jnp.sum(res.converged))
 
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        res = solve(A, b, alpha1)
-        res.x.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+    # Timing methodology (the axon tunnel makes naive loops lie in BOTH
+    # directions, verified by experiment):
+    #  - block_until_ready() after each rep *before* any device→host value
+    #    transfer returns early (per-solve ≈2 ms at batch 64k — physically
+    #    impossible: the Gram build alone must read 1.3 GB of A);
+    #  - after the first value transfer every sync pays a ~36 ms round-trip,
+    #    taxing per-rep timing with a constant that vanishes on co-located
+    #    hosts.
+    # So: dispatch `reps` back-to-back solves (the single TPU core serializes
+    # them — total time grows linearly in reps, which rules out elision) and
+    # force completion of the whole stream with ONE terminal value fetch.
+    # total/reps slightly overstates per-solve cost (it amortizes the one
+    # round-trip) — conservative. Trials are repeated and the minimum taken
+    # to shed transient tunnel stalls.
+    reps, trials = 25, 3
+    totals = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            res = solve(A, b, alpha1)
+        n_conv = int(jnp.sum(res.converged))
+        totals.append(time.perf_counter() - t0)
+    dt = min(totals) / reps
 
     value = n_conv / dt
     print(

@@ -1,3 +1,4 @@
+from .gram_build import make_gram_batch_fused
 from .fista_vmem import (
     fista_gram_vmem,
     fista_gram_vmem_sharded,
@@ -6,6 +7,7 @@ from .fista_vmem import (
 )
 
 __all__ = [
+    "make_gram_batch_fused",
     "fista_gram_vmem",
     "fista_gram_vmem_sharded",
     "momentum_betas",

@@ -11,6 +11,7 @@ from .generators import (
     generate_boston_like,
     generate_scenario,
     generate_scenario_batch,
+    generate_scenario_batch_fm,
     scenario_grid,
     X_TRUE,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "generate_boston_like",
     "generate_scenario",
     "generate_scenario_batch",
+    "generate_scenario_batch_fm",
     "scenario_grid",
     "X_TRUE",
 ]

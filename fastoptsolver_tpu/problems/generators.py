@@ -148,3 +148,45 @@ def generate_scenario_batch(
     noise = bc(noise_std) * jax.random.normal(k4, (batch, m), dtype)
     b = A @ x_true + noise
     return A, b, x_true
+
+
+def generate_scenario_batch_fm(
+    key: Array,
+    batch: int,
+    m: int = 1000,
+    noise_std=2.0,
+    rho1=0.8,
+    rho2=0.9,
+    dtype=jnp.float32,
+) -> tuple[Array, Array, Array]:
+    """Feature-leading variant of :func:`generate_scenario_batch`: returns
+    ``(A, b, x_true)`` with ``A`` of shape (5, m, batch) and ``b`` (m, batch)
+    — the native layout of the fused Gram-build kernel
+    (kernels/gram_build.py), written directly at generation time so no
+    transpose pass over the (GB-scale) design tensor is ever needed.
+
+    Same distribution as the batch-major generator (and the reference's
+    easy_boston_data.py:23-45 recipe); the draw ORDER differs, so per-seed
+    values don't match generate_scenario_batch bitwise — distributional
+    parity only.
+    """
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    bc = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype), (batch,))[None, :]
+
+    def block(k, mean, rho, scale):
+        z = jax.random.normal(k, (2, m, batch), dtype)
+        rho = bc(rho)  # (1, batch), broadcasts over (m, batch)
+        c0 = z[0]
+        c1 = rho * z[0] + jnp.sqrt(1.0 - rho * rho) * z[1]
+        s = jnp.sqrt(jnp.asarray(scale, dtype))
+        mean = jnp.asarray(mean, dtype)
+        return jnp.stack([c0, c1]) * s + mean[:, None, None]
+
+    block1 = block(k1, BLOCK1_MEAN, rho1, BLOCK1_SCALE)
+    block2 = block(k2, BLOCK2_MEAN, rho2, BLOCK2_SCALE)
+    distance = DIST_MEAN + DIST_STD * jax.random.normal(k3, (1, m, batch), dtype)
+    A = jnp.concatenate([block1, block2, distance], axis=0)  # (5, m, batch)
+    x_true = jnp.asarray(X_TRUE, dtype)
+    noise = bc(noise_std) * jax.random.normal(k4, (m, batch), dtype)
+    b = jnp.einsum("nmb,n->mb", A, x_true) + noise
+    return A, b, x_true

@@ -187,3 +187,91 @@ def test_sharded_kernel_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(sharded.x), np.asarray(single.x), rtol=2e-3, atol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused Gram-build kernel (kernels/gram_build.py)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_build_matches_xla_gram():
+    import jax
+    from fastoptsolver_tpu.kernels import make_gram_batch_fused
+
+    rng = np.random.default_rng(0)
+    n, m, B = 5, 120, 384
+    Afm = jnp.asarray(rng.normal(size=(n, m, B)), jnp.float32)
+    bfm = jnp.asarray(rng.normal(size=(m, B)), jnp.float32)
+    gb = make_gram_batch_fused(Afm, bfm, alpha1=0.5, alpha2=0.1, interpret=True)
+    gb0 = make_gram_batch(
+        jnp.transpose(Afm, (2, 1, 0)), jnp.transpose(bfm, (1, 0)),
+        alpha1=0.5, alpha2=0.1,
+    )
+    np.testing.assert_allclose(np.asarray(gb.Q), np.asarray(gb0.Q), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb.c), np.asarray(gb0.c), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb.btb), np.asarray(gb0.btb), rtol=1e-5)
+    # L: close to the XLA estimate (both are power iterations; random
+    # Gaussian Grams are the small-eigengap worst case). Certified
+    # convergence with the fused L is the binding check (next test).
+    ratio = np.asarray(gb.L) / np.asarray(gb0.L)
+    assert np.all(ratio > 0.9) and np.all(ratio < 1.1), (ratio.min(), ratio.max())
+
+
+def test_fused_build_nonmultiple_batch_and_end_to_end():
+    from fastoptsolver_tpu.kernels import make_gram_batch_fused
+
+    rng = np.random.default_rng(1)
+    n, m, B = 5, 80, 200  # B not a multiple of the lane tile
+    Afm = jnp.asarray(rng.normal(size=(n, m, B)), jnp.float32)
+    x_true = np.zeros((n, B), np.float32)
+    x_true[:2] = rng.normal(size=(2, B))
+    bfm = jnp.einsum("nmb,nb->mb", Afm, jnp.asarray(x_true))
+    a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", Afm, bfm)), axis=0)
+    gb = make_gram_batch_fused(Afm, bfm, alpha1=a1, alpha2=0.0, b_tile=128,
+                               interpret=True)
+    assert gb.Q.shape == (n, n, B)
+    # 5e-6: random Gaussian instances sit near the f32 gap-evaluation floor
+    # at 1e-6 (a handful of lanes plateau at ~1.3e-6 on the XLA path too)
+    cfg = BatchFISTAConfig(max_iter=1000, check_every=25, rel_gap_tol=5e-6)
+    res = fista_gram_batch(gb, cfg)
+    assert bool(res.converged.all())
+
+
+def test_fused_build_rejects_wide_problems():
+    import pytest
+    from fastoptsolver_tpu.kernels import make_gram_batch_fused
+
+    Afm = jnp.zeros((9, 16, 128), jnp.float32)
+    bfm = jnp.zeros((16, 128), jnp.float32)
+    with pytest.raises(ValueError):
+        make_gram_batch_fused(Afm, bfm, alpha1=0.1, alpha2=0.0, interpret=True)
+
+
+def test_feature_major_generator_distribution_parity():
+    import jax
+    from fastoptsolver_tpu.problems import (
+        generate_scenario_batch,
+        generate_scenario_batch_fm,
+    )
+
+    key = jax.random.PRNGKey(0)
+    B, m = 512, 400
+    A1, b1, xt1 = generate_scenario_batch(key, B, m=m, noise_std=1.0, rho1=0.5, rho2=0.7)
+    A2, b2, xt2 = generate_scenario_batch_fm(key, B, m=m, noise_std=1.0, rho1=0.5, rho2=0.7)
+    assert A2.shape == (5, m, B) and b2.shape == (m, B)
+    np.testing.assert_array_equal(np.asarray(xt1), np.asarray(xt2))
+    # distributional parity: feature means/stds and within-block correlation
+    m1 = np.asarray(A1).reshape(-1, 5).mean(0)
+    m2 = np.asarray(A2).transpose(1, 2, 0).reshape(-1, 5).mean(0)
+    np.testing.assert_allclose(m1, m2, rtol=0.02, atol=0.05)
+    s1 = np.asarray(A1).reshape(-1, 5).std(0)
+    s2 = np.asarray(A2).transpose(1, 2, 0).reshape(-1, 5).std(0)
+    np.testing.assert_allclose(s1, s2, rtol=0.05)
+    flat1 = np.asarray(A1).reshape(-1, 5)
+    flat2 = np.asarray(A2).transpose(1, 2, 0).reshape(-1, 5)
+    c1 = np.corrcoef(flat1[:, 0], flat1[:, 1])[0, 1]
+    c2 = np.corrcoef(flat2[:, 0], flat2[:, 1])[0, 1]
+    np.testing.assert_allclose(c1, c2, atol=0.05)
+    # b = A @ x_true + noise in both layouts
+    r2 = np.asarray(b2) - np.einsum("nmb,n->mb", np.asarray(A2), np.asarray(xt2))
+    assert abs(r2.std() - 1.0) < 0.05
