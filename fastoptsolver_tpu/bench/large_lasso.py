@@ -53,9 +53,17 @@ def run(m: int, n: int, iters: int, alpha1_scale: float = 0.1, seed: int = 0):
     solve = jax.jit(lambda p, k: fista(p, cfg, key=k).x)
 
     x = jax.block_until_ready(solve(problem, key))  # compile + L estimation
-    t0 = time.perf_counter()
-    x = jax.block_until_ready(solve(problem, key))
-    dt = time.perf_counter() - t0
+    # Force completion with a VALUE fetch, not block_until_ready: before the
+    # process's first device→host transfer the tunnel's block_until_ready
+    # returns early (see bench.py's methodology note). The one ~36 ms fetch
+    # round-trip is included in dt — conservative at ~1 s solve times.
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = solve(problem, key)
+        float(jnp.sum(x))
+        best = min(best, time.perf_counter() - t0)
+    dt = best
 
     # L estimation (≤100 power iters, 2 matvecs each) is included in dt;
     # count it toward the matvec totals for honest bandwidth accounting.
