@@ -76,7 +76,12 @@ def _child(mode: str, n_dev: int, batch: int, m: int, iters: int) -> None:
 
     jax.block_until_ready(run())  # compile
     t0 = time.perf_counter()
-    jax.block_until_ready(run())
+    out = run()
+    # force completion with a value fetch — on the TPU tunnel a bare
+    # block_until_ready can return early before the process's first
+    # device→host transfer (see bench.py's methodology note); no-op cost
+    # on the CPU-simulated default platform
+    float(jnp.sum(out))
     dt = time.perf_counter() - t0
     print(
         json.dumps(

@@ -1,0 +1,171 @@
+"""sklearn-style estimator façade: fit / predict / score over the TPU stack.
+
+The reference exposes one sklearn-ish class (``LBFGSSolver`` with ``fit`` —
+/root/reference/lbfgs.py:7-73, mirrored in compat.py). This module rounds
+that out into the estimator surface a scikit-learn user expects when
+switching over: ``Lasso``, ``ElasticNet``, ``Ridge`` and the cross-validated
+``LassoCV``, all running on the framework's jitted solvers (and, for CV, the
+one-device-call grid of batch/cv.py).
+
+Conventions follow scikit-learn, with the mapping documented here once:
+sklearn minimizes ``1/(2·n_samples)·‖y − Xw‖² + α·l1_ratio·‖w‖₁ +
+½·α·(1−l1_ratio)·‖w‖²``; this framework minimizes ``½‖Ax−b‖² + α₁‖x‖₁ +
+½·α₂‖x‖²``. So ``α₁ = n_samples·α·l1_ratio`` and
+``α₂ = n_samples·α·(1−l1_ratio)``. Intercepts are handled the standard way
+(center X's columns and y, never penalize the intercept).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .api import solve
+from .batch.cv import cv_lasso
+from .batch.fista_gram import BatchFISTAConfig
+
+
+class _BaseRegressor:
+    """Shared fit/predict/score plumbing (NumPy in, NumPy out)."""
+
+    def __init__(self, alpha=1.0, l1_ratio=1.0, fit_intercept=True,
+                 max_iter=2000, tol=0.0, method="fista", dtype=jnp.float32):
+        self.alpha = float(alpha)
+        self.l1_ratio = float(l1_ratio)
+        self.fit_intercept = bool(fit_intercept)
+        self.max_iter = int(max_iter)
+        self.tol = float(tol)
+        self.method = method
+        self.dtype = dtype
+
+    def _reg(self, n_samples: int) -> tuple[str, float, float]:
+        a1 = n_samples * self.alpha * self.l1_ratio
+        a2 = n_samples * self.alpha * (1.0 - self.l1_ratio)
+        if a1 == 0.0:
+            return "ridge", 0.0, a2
+        if a2 == 0.0:
+            return "lasso", a1, 0.0
+        return "elasticnet", a1, a2
+
+    def fit(self, X, y):
+        X = np.asarray(X, np.float64)
+        y = np.asarray(y, np.float64)
+        if self.fit_intercept:
+            self._x_mean = X.mean(axis=0)
+            self._y_mean = y.mean()
+            Xc, yc = X - self._x_mean, y - self._y_mean
+        else:
+            self._x_mean = np.zeros(X.shape[1])
+            self._y_mean = 0.0
+            Xc, yc = X, y
+        reg, a1, a2 = self._reg(X.shape[0])
+        kwargs = dict(max_iter=self.max_iter)
+        if self.method in ("fista", "ista", "lbfgs", "owlqn"):
+            kwargs["tol"] = self.tol
+        res = solve(Xc, yc, reg, alpha1=a1, alpha2=a2, method=self.method,
+                    dtype=self.dtype, **kwargs)
+        self.coef_ = np.asarray(res.x, np.float64)
+        self.intercept_ = float(self._y_mean - self._x_mean @ self.coef_)
+        self.n_iter_ = int(res.n_iters)
+        return self
+
+    def predict(self, X):
+        return np.asarray(X, np.float64) @ self.coef_ + self.intercept_
+
+    def score(self, X, y):
+        """R² (coefficient of determination), sklearn semantics."""
+        y = np.asarray(y, np.float64)
+        r = y - self.predict(X)
+        ss_res = float(r @ r)
+        d = y - y.mean()
+        ss_tot = float(d @ d)
+        return 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+
+
+class Lasso(_BaseRegressor):
+    """L1-regularized least squares (sklearn.linear_model.Lasso-compatible
+    hyperparameter semantics)."""
+
+    def __init__(self, alpha=1.0, fit_intercept=True, max_iter=2000, tol=0.0,
+                 method="fista", dtype=jnp.float32):
+        super().__init__(alpha=alpha, l1_ratio=1.0, fit_intercept=fit_intercept,
+                         max_iter=max_iter, tol=tol, method=method, dtype=dtype)
+
+
+class ElasticNet(_BaseRegressor):
+    """Elastic-net (sklearn alpha/l1_ratio semantics)."""
+
+    def __init__(self, alpha=1.0, l1_ratio=0.5, fit_intercept=True,
+                 max_iter=2000, tol=0.0, method="fista", dtype=jnp.float32):
+        super().__init__(alpha=alpha, l1_ratio=l1_ratio,
+                         fit_intercept=fit_intercept, max_iter=max_iter,
+                         tol=tol, method=method, dtype=dtype)
+
+
+class Ridge(_BaseRegressor):
+    """L2-regularized least squares. Note sklearn's Ridge does NOT scale α by
+    n_samples — matched here (α₂ = α directly)."""
+
+    def __init__(self, alpha=1.0, fit_intercept=True, max_iter=500,
+                 tol=1e-9, method="lbfgs", dtype=jnp.float32):
+        super().__init__(alpha=alpha, l1_ratio=0.0, fit_intercept=fit_intercept,
+                         max_iter=max_iter, tol=tol, method=method, dtype=dtype)
+
+    def _reg(self, n_samples):
+        return "ridge", 0.0, self.alpha
+
+
+class LassoCV(_BaseRegressor):
+    """K-fold cross-validated lasso over an α ladder — the whole
+    (folds × ladder) grid plus the refit path solves as ONE device call
+    (batch/cv.py). After ``fit``: ``alpha_``, ``alphas_``, ``mse_path_``
+    (shape (n_alphas, cv) — sklearn's orientation), ``coef_``,
+    ``intercept_``, ``coef_path_``."""
+
+    def __init__(self, alphas=None, n_alphas=100, eps=1e-3, cv=5,
+                 fit_intercept=True, max_iter=2000, one_se_rule=False,
+                 shuffle_seed=0, dtype=jnp.float32):
+        super().__init__(alpha=1.0, l1_ratio=1.0, fit_intercept=fit_intercept,
+                         max_iter=max_iter, dtype=dtype)
+        self.alphas = alphas
+        self.n_alphas = int(n_alphas)
+        self.eps = float(eps)
+        self.cv = int(cv)
+        self.one_se_rule = bool(one_se_rule)
+        self.shuffle_seed = shuffle_seed
+
+    def fit(self, X, y):
+        X = np.asarray(X, np.float64)
+        y = np.asarray(y, np.float64)
+        n_samples = X.shape[0]
+        alphas = self.alphas
+        if alphas is not None:
+            # sklearn-per-sample α → internal α₁
+            alphas = np.asarray(alphas, np.float64) * n_samples
+        key = (
+            jax.random.PRNGKey(self.shuffle_seed)
+            if self.shuffle_seed is not None
+            else None
+        )
+        res = cv_lasso(
+            X, y,
+            k_folds=self.cv,
+            alphas=alphas,
+            n_alphas=self.n_alphas,
+            eps=self.eps,
+            key=key,
+            cfg=BatchFISTAConfig(max_iter=self.max_iter, check_every=25,
+                                 rel_gap_tol=1e-7),
+            one_se_rule=self.one_se_rule,
+            fit_intercept=self.fit_intercept,
+            dtype=self.dtype,
+        )
+        self.alphas_ = np.asarray(res.alphas, np.float64) / n_samples
+        self.alpha_ = float(res.best_alpha) / n_samples
+        self.mse_path_ = np.asarray(res.mse_path, np.float64).T  # (n_alphas, cv)
+        self.coef_ = np.asarray(res.coef, np.float64)
+        self.coef_path_ = np.asarray(res.coef_path, np.float64)
+        self.intercept_ = float(res.intercept)
+        self.converged_ = bool(res.converged)
+        return self

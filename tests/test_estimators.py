@@ -1,0 +1,79 @@
+"""sklearn-style estimators: hyperparameter-semantics parity with
+scikit-learn conventions, checked against our own f64 oracles."""
+import numpy as np
+import jax.numpy as jnp
+
+from fastoptsolver_tpu import ElasticNet, Lasso, LassoCV, Ridge
+from fastoptsolver_tpu.problems import LeastSquares
+from fastoptsolver_tpu.solvers import CDConfig, certified_optimum
+
+
+def _data(rng, m=200, n=12):
+    X = rng.normal(size=(m, n))
+    w = np.zeros(n)
+    w[:4] = rng.normal(size=4) * 2
+    y = X @ w + 3.0 + 0.1 * rng.normal(size=m)
+    return X, y
+
+
+def test_lasso_alpha_semantics(rng):
+    """sklearn's 1/(2m)-scaled objective: our α₁ must be m·alpha."""
+    X, y = _data(rng)
+    m = X.shape[0]
+    est = Lasso(alpha=0.05, fit_intercept=False, max_iter=5000, dtype=jnp.float64).fit(X, y)
+    p = LeastSquares.create(X, y, "lasso", alpha1=0.05 * m, dtype=jnp.float64)
+    x_ref, _ = certified_optimum(p.to_gram(), CDConfig(max_sweeps=50000, tol=1e-15))
+    np.testing.assert_allclose(est.coef_, np.asarray(x_ref), atol=1e-6)
+
+
+def test_lasso_intercept_and_score(rng):
+    X, y = _data(rng)
+    est = Lasso(alpha=0.01, max_iter=5000, dtype=jnp.float64).fit(X, y)
+    assert abs(est.intercept_ - 3.0) < 0.5
+    assert est.score(X, y) > 0.9
+    # intercept handling = centered fit
+    Xc = X - X.mean(0)
+    yc = y - y.mean()
+    p = LeastSquares.create(Xc, yc, "lasso", alpha1=0.01 * X.shape[0], dtype=jnp.float64)
+    x_ref, _ = certified_optimum(p.to_gram(), CDConfig(max_sweeps=50000, tol=1e-15))
+    np.testing.assert_allclose(est.coef_, np.asarray(x_ref), atol=1e-6)
+
+
+def test_elasticnet_semantics(rng):
+    X, y = _data(rng)
+    m = X.shape[0]
+    est = ElasticNet(alpha=0.05, l1_ratio=0.4, fit_intercept=False,
+                     max_iter=8000, dtype=jnp.float64).fit(X, y)
+    p = LeastSquares.create(
+        X, y, "elasticnet",
+        alpha1=0.05 * 0.4 * m, alpha2=0.05 * 0.6 * m, dtype=jnp.float64,
+    )
+    x_ref, _ = certified_optimum(p.to_gram(), CDConfig(max_sweeps=50000, tol=1e-15))
+    np.testing.assert_allclose(est.coef_, np.asarray(x_ref), atol=1e-6)
+
+
+def test_ridge_closed_form(rng):
+    X, y = _data(rng)
+    est = Ridge(alpha=2.0, fit_intercept=False, dtype=jnp.float64).fit(X, y)
+    w_ref = np.linalg.solve(X.T @ X + 2.0 * np.eye(X.shape[1]), X.T @ y)
+    np.testing.assert_allclose(est.coef_, w_ref, atol=1e-4)  # ftol-limited
+
+
+def test_lasso_cv_estimator(rng):
+    X, y = _data(rng, m=300, n=15)
+    est = LassoCV(n_alphas=25, cv=5, dtype=jnp.float32).fit(X, y)
+    assert est.alphas_.shape == (25,)
+    assert est.mse_path_.shape == (25, 5)
+    assert est.alpha_ in est.alphas_
+    assert est.score(X, y) > 0.9
+    # refit equals path at the chosen alpha
+    i = int(np.argmin(np.abs(est.alphas_ - est.alpha_)))
+    np.testing.assert_allclose(est.coef_, est.coef_path_[i])
+
+
+def test_lasso_cv_explicit_alphas(rng):
+    X, y = _data(rng, m=250, n=10)
+    alphas = [0.001, 0.01, 0.1]
+    est = LassoCV(alphas=alphas, cv=4, dtype=jnp.float64).fit(X, y)
+    np.testing.assert_allclose(sorted(est.alphas_), sorted(alphas), rtol=1e-6)
+    assert est.alpha_ in est.alphas_
