@@ -1,6 +1,7 @@
 from .gram_build import make_gram_batch_fused
 from .fista_vmem import (
     fista_gram_vmem,
+    fista_gram_vmem_adaptive,
     fista_gram_vmem_sharded,
     momentum_betas,
     auto_b_tile,
@@ -9,6 +10,7 @@ from .fista_vmem import (
 __all__ = [
     "make_gram_batch_fused",
     "fista_gram_vmem",
+    "fista_gram_vmem_adaptive",
     "fista_gram_vmem_sharded",
     "momentum_betas",
     "auto_b_tile",

@@ -474,3 +474,191 @@ def fista_gram_vmem_sharded(
         converged=done[sl] & ~failed,
         failed=failed,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fully in-kernel certification: per-tile adaptive iteration counts
+# ---------------------------------------------------------------------------
+
+
+def _fista_tile_kernel_adaptive(beta_ref, Q_ref, c_ref, tau_ref, thr_ref,
+                                a2_ref, a1_ref, btb_ref, Xo_ref, gap_ref,
+                                iters_ref, done_ref, *, n_pad: int, chunk: int,
+                                n_bursts: int, tol: float):
+    """The ENTIRE certified solve for one (n_pad, B_TILE) tile in one kernel
+    launch: a while loop alternates ``chunk``-iteration bursts with the
+    in-kernel duality-gap check, exiting as soon as THIS TILE's lanes are all
+    certified (or quarantined non-finite). Where the burst driver
+    (_solve_on_device) runs every tile to the global max lane's iteration
+    count, each tile here pays only its own — and the X/Y round-trips to HBM
+    between bursts disappear."""
+    tau = tau_ref[:]
+    thr = thr_ref[:]
+    a2 = a2_ref[:]
+    a1 = a1_ref[:]
+    btb = btb_ref[:]
+    Q = Q_ref[:]
+    c = c_ref[:]
+
+    def matvec(V):
+        out = jnp.zeros_like(V)
+        for j in range(n_pad):
+            out += Q[j] * V[j : j + 1, :]
+        return out
+
+    def rel_gap(X):
+        QX = matvec(X)
+        red = lambda v: jnp.sum(v, axis=0, keepdims=True)
+        xQx = red(X * QX)
+        cx = red(c * X)
+        xx = red(X * X)
+        l1 = red(jnp.abs(X))
+        u = QX - c + a2 * X
+        u_inf = jnp.max(jnp.abs(u), axis=0, keepdims=True)
+        uu = red(u * u)
+        rr = jnp.maximum(xQx - 2.0 * cx + btb, 0.0)
+        rb = cx - btb
+        f = 0.5 * rr + 0.5 * a2 * xx + a1 * l1
+        s = jnp.where(u_inf > a1, a1 / jnp.maximum(u_inf, 1e-30), 1.0)
+        dual_neg = 0.5 * (s * s) * rr + s * rb + 0.5 * a2 * (s * s) * xx
+        l1_gap = jnp.maximum(f + dual_neg, 0.0)
+        smooth_gap = uu / jnp.where(a2 > 0, 2.0 * a2, 1.0)
+        gap = jnp.where(a1 > 0, l1_gap, smooth_gap)
+        return gap / jnp.maximum(f, 1.0)
+
+    def fista_steps(k0, X, Y):
+        def step(i, carry):
+            X, Y = carry
+            grad = matvec(Y) + a2 * Y - c
+            V = Y - tau * grad
+            Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - thr, 0.0)
+            beta = beta_ref[k0 + i]
+            Yn = Xn + beta * (Xn - X)
+            return Xn, Yn
+        return jax.lax.fori_loop(0, chunk, step, (X, Y))
+
+    def cond(carry):
+        X, Y, k, done, iters, gap = carry
+        return (k < n_bursts * chunk) & ~jnp.all(done > 0.0)
+
+    def body(carry):
+        X, Y, k, done, iters, gap = carry
+        X, Y = fista_steps(k, X, Y)
+        k = k + chunk
+        g = rel_gap(X)
+        finite = jnp.all(jnp.isfinite(X), axis=0, keepdims=True)
+        g = jnp.where(finite, g, jnp.inf)
+        newly = (done == 0.0) & ((g <= tol) | ~finite)
+        done = jnp.where(newly, 1.0, done)
+        iters = jnp.where(done == 0.0, jnp.float32(k), jnp.where(newly, jnp.float32(k), iters))
+        gap = jnp.where(newly | (done == 0.0), g, gap)
+        return X, Y, k, done, iters, gap
+
+    zero = jnp.zeros_like(c)
+    onerow = jnp.zeros_like(tau)
+    X, Y, k, done, iters, gap = jax.lax.while_loop(
+        cond,
+        body,
+        (zero, zero, jnp.zeros((), jnp.int32), onerow,
+         onerow, jnp.full_like(tau, jnp.inf)),
+    )
+    Xo_ref[:] = X
+    gap_ref[:] = gap
+    iters_ref[:] = iters.astype(jnp.int32)
+    done_ref[:] = done.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pn", "pB", "n_pad", "b_tile", "chunk", "n_bursts",
+                     "tol", "interpret"),
+)
+def _solve_adaptive(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
+                    b_tile, chunk, n_bursts, tol, interpret,
+                    t_init_factor) -> BatchResult:
+    n, B_orig = c.shape
+    if pn or pB:
+        Q = jnp.pad(Q, ((0, pn), (0, pn), (0, pB)))
+        c = jnp.pad(c, ((0, pn), (0, pB)))
+        btb = jnp.pad(btb, (0, pB))
+        alpha1 = jnp.pad(alpha1, (0, pB))
+        alpha2 = jnp.pad(alpha2, (0, pB))
+        L = jnp.pad(L, (0, pB), constant_values=1.0)
+    dtype = c.dtype
+    B = B_orig + pB
+    tau = (t_init_factor / L).astype(dtype)[None, :]
+    thr = tau * alpha1[None, :]
+    a2 = alpha2[None, :].astype(dtype)
+    a1 = alpha1[None, :].astype(dtype)
+    btbrow = btb[None, :].astype(dtype)
+
+    kern = functools.partial(
+        _fista_tile_kernel_adaptive, n_pad=n_pad, chunk=chunk,
+        n_bursts=n_bursts, tol=tol,
+    )
+    vec = lambda r: pl.BlockSpec(
+        (r, b_tile), lambda i, *prefetch: (0, i), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # betas
+        grid=(B // b_tile,),
+        in_specs=[
+            pl.BlockSpec((n_pad, n_pad, b_tile), lambda i, *prefetch: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            vec(n_pad),  # c
+            vec(1), vec(1), vec(1), vec(1), vec(1),  # tau, thr, a2, a1, btb
+        ],
+        out_specs=[vec(n_pad), vec(1), vec(1), vec(1)],
+    )
+    X, gap, iters, done = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(betas, Q, c, tau, thr, a2, a1, btbrow)
+    sl = slice(0, B_orig)
+    failed = ~jnp.all(jnp.isfinite(X[:, sl]), axis=0)
+    return BatchResult(
+        x=X[:n, sl].T,
+        iters=iters[0, sl],
+        rel_gap=gap[0, sl],
+        n_iters_total=jnp.max(iters[0, sl]),
+        converged=(done[0, sl] > 0) & (gap[0, sl] <= tol) & ~failed,
+        failed=failed,
+    )
+
+
+def fista_gram_vmem_adaptive(
+    gb: GramBatch,
+    cfg: BatchFISTAConfig = BatchFISTAConfig(),
+    b_tile: int | None = None,
+    interpret: bool = False,
+) -> BatchResult:
+    """Per-tile adaptive variant of :func:`fista_gram_vmem`: the certification
+    while-loop lives INSIDE the kernel, so each lane tile exits at its own
+    convergence point instead of the batch's global max. Fresh solves only
+    (no resume state); ``check_every`` must be > 0."""
+    if cfg.adaptive_restart:
+        raise NotImplementedError("adaptive restart runs on the XLA driver")
+    if cfg.check_every <= 0:
+        raise ValueError("adaptive kernel needs check_every > 0")
+    n, B_orig = gb.c.shape
+    n_pad = _round_up(max(n, SUBLANE), SUBLANE)
+    if b_tile is None:
+        b_tile = auto_b_tile(n_pad)
+    b_tile = min(b_tile, _round_up(B_orig, LANE))
+    B = _round_up(B_orig, b_tile)
+    chunk = cfg.check_every
+    n_bursts = -(-cfg.max_iter // chunk)
+    betas, _ = momentum_betas(0, n_bursts * chunk, 1.0, cfg)
+    return _solve_adaptive(
+        betas, gb.Q, gb.c, gb.btb, gb.alpha1, gb.alpha2, gb.L,
+        pn=n_pad - n, pB=B - B_orig, n_pad=n_pad, b_tile=b_tile, chunk=chunk,
+        n_bursts=n_bursts, tol=cfg.rel_gap_tol, interpret=interpret,
+        t_init_factor=cfg.t_init_factor,
+    )

@@ -275,3 +275,37 @@ def test_feature_major_generator_distribution_parity():
     # b = A @ x_true + noise in both layouts
     r2 = np.asarray(b2) - np.einsum("nmb,n->mb", np.asarray(A2), np.asarray(xt2))
     assert abs(r2.std() - 1.0) < 0.05
+
+
+def test_adaptive_kernel_matches_xla_path():
+    from fastoptsolver_tpu.kernels import fista_gram_vmem_adaptive
+
+    rng = np.random.default_rng(0)
+    B, m, n = 300, 200, 5
+    A = jnp.asarray(rng.normal(size=(B, m, n)), jnp.float32)
+    xt = np.zeros((B, n), np.float32)
+    xt[:, :2] = rng.normal(size=(B, 2))
+    b = jnp.einsum("bmn,bn->bm", A, jnp.asarray(xt))
+    a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("bmi,bm->bi", A, b)), axis=1)
+    gb = make_gram_batch(A, b, alpha1=a1, alpha2=0.0)
+    cfg = BatchFISTAConfig(max_iter=1000, check_every=25, rel_gap_tol=5e-6)
+    r0 = fista_gram_batch(gb, cfg)
+    r1 = fista_gram_vmem_adaptive(gb, cfg, b_tile=128, interpret=True)
+    assert bool(r1.converged.all())
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x), atol=2e-4)
+    # same certification cadence ⇒ identical per-instance iteration counts
+    np.testing.assert_array_equal(np.asarray(r1.iters), np.asarray(r0.iters))
+
+
+def test_adaptive_kernel_requires_certification():
+    import pytest
+    from fastoptsolver_tpu.kernels import fista_gram_vmem_adaptive
+
+    gb = make_gram_batch(
+        jnp.ones((8, 16, 5), jnp.float32), jnp.ones((8, 16), jnp.float32),
+        alpha1=0.1, alpha2=0.0,
+    )
+    with pytest.raises(ValueError):
+        fista_gram_vmem_adaptive(
+            gb, BatchFISTAConfig(max_iter=100, check_every=0), interpret=True
+        )
