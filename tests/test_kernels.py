@@ -309,3 +309,32 @@ def test_adaptive_kernel_requires_certification():
         fista_gram_vmem_adaptive(
             gb, BatchFISTAConfig(max_iter=100, check_every=0), interpret=True
         )
+
+
+def test_sharded_pipeline_matches_single_device():
+    import jax
+    from fastoptsolver_tpu.kernels import solve_pipeline_sharded
+    from fastoptsolver_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    n, m, B = 5, 150, 500  # B not a multiple of (tile * n_dev) → padding path
+    Afm = jnp.asarray(rng.normal(size=(n, m, B)), jnp.float32)
+    xt = np.zeros((n, B), np.float32)
+    xt[:2] = rng.normal(size=(2, B))
+    bfm = jnp.einsum("nmb,nb->mb", Afm, jnp.asarray(xt))
+    a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", Afm, bfm)), axis=0)
+    cfg = BatchFISTAConfig(max_iter=1000, check_every=25, rel_gap_tol=5e-6)
+
+    mesh = make_mesh(batch=8, model=1)
+    res = solve_pipeline_sharded(
+        Afm, bfm, a1, 0.0, mesh, cfg, b_tile_build=128, b_tile_solve=128,
+        interpret=True,
+    )
+    assert bool(res.converged.all())
+    # single-device reference through the XLA path
+    gb0 = make_gram_batch(
+        jnp.transpose(Afm, (2, 1, 0)), jnp.transpose(bfm, (1, 0)),
+        alpha1=a1, alpha2=0.0,
+    )
+    r0 = fista_gram_batch(gb0, cfg)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(r0.x), atol=3e-4)
