@@ -28,6 +28,7 @@ from .solvers import (
     ISTAConfig,
     LBFGSConfig,
     OWLQNConfig,
+    SVRGConfig,
     SolveResult,
     admm,
     cd,
@@ -39,6 +40,7 @@ from .solvers import (
     lbfgs_with_history,
     owlqn,
     owlqn_with_history,
+    prox_svrg,
 )
 
 _METHODS = {
@@ -49,6 +51,7 @@ _METHODS = {
     "cd": (CDConfig, cd, None),
     "admm": (ADMMConfig, admm, None),
     "owlqn": (OWLQNConfig, owlqn, owlqn_with_history),
+    "svrg": (SVRGConfig, prox_svrg, None),
 }
 
 
@@ -79,8 +82,9 @@ def solve(
     if gram is None:
         # Gram precompute pays when A is tall and narrow (setup O(mn²) is
         # amortized by O(n²) iterations) and the method iterates on gradients.
-        gram = method != "lbfgs" and n <= 128 and m >= 4 * n
-    if gram and method != "lbfgs":
+        # SVRG needs row access (minibatch gathers), so it stays on (A, b).
+        gram = method not in ("lbfgs", "svrg") and n <= 128 and m >= 4 * n
+    if gram and method not in ("lbfgs", "svrg"):
         problem = problem.to_gram()
 
     valid = {f.name for f in dataclasses.fields(cfg_cls)}
@@ -95,6 +99,11 @@ def solve(
         if method in ("lbfgs", "owlqn"):
             return run_hist(problem, config, x0=x0)
         return run_hist(problem, config, x0=x0, key=key)
+    if method == "svrg":
+        from .ops import estimate_lipschitz
+
+        L = estimate_lipschitz(problem.A) + problem.alpha2
+        return run(problem, L, config, x0=x0, key=key)
     if method in ("lbfgs", "cd", "admm", "owlqn"):
         return run(problem, config, x0=x0)
     return run(problem, config, x0=x0, key=key)

@@ -3,6 +3,8 @@ from .least_squares import LeastSquares, GramLeastSquares, LogisticRegression
 from .sparse import SparseLeastSquares
 from .boston import load_boston_csv, synthetic_boston
 from .extensions import (
+    HuberRegression,
+    WeightedLeastSquares,
     NonNegativeLeastSquares,
     GroupLassoLeastSquares,
     BoxConstrainedLeastSquares,
@@ -18,6 +20,8 @@ from .generators import (
 
 __all__ = [
     "SparseLeastSquares",
+    "HuberRegression",
+    "WeightedLeastSquares",
     "NonNegativeLeastSquares",
     "GroupLassoLeastSquares",
     "BoxConstrainedLeastSquares",

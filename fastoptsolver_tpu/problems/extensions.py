@@ -139,3 +139,156 @@ class BoxConstrainedLeastSquares(_LSBase):
     def x0(self) -> Array:
         z = jnp.zeros(self.dim, dtype=self.A.dtype)
         return jnp.clip(z, self.lower, self.upper)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WeightedLeastSquares:
+    """Per-row sample weights: ``g(x) = ½ Σᵢ wᵢ(aᵢᵀx − bᵢ)² + ½α₂‖x‖²``,
+    ``h = α₁‖x‖₁``. Equivalent to scaling rows by √wᵢ, kept explicit so user
+    weight semantics survive (e.g. inverse-variance weighting). Not in the
+    reference; standard regression extension."""
+
+    A: Array  # (m, n)
+    b: Array  # (m,)
+    w: Array  # (m,) nonnegative sample weights
+    alpha1: Array
+    alpha2: Array
+
+    @classmethod
+    def create(cls, A, b, w, reg_type: str = "lasso", alpha1: float = 0.0,
+               alpha2: float = 0.0, dtype=jnp.float32):
+        from .base import fold_alphas
+
+        a1, a2, _ = fold_alphas(reg_type, alpha1, alpha2)
+        return cls(
+            A=jnp.asarray(A, dtype),
+            b=jnp.asarray(b, dtype),
+            w=jnp.asarray(w, dtype),
+            alpha1=jnp.asarray(a1, dtype),
+            alpha2=jnp.asarray(a2, dtype),
+        )
+
+    @property
+    def dim(self) -> int:
+        return self.A.shape[-1]
+
+    @property
+    def ridge_in_smooth(self) -> bool:
+        return True
+
+    def residual(self, x: Array) -> Array:
+        return self.A @ x - self.b
+
+    def normal_matvec(self, v: Array) -> Array:
+        """``Aᵀdiag(w)A·v`` — the weighted normal operator; lipschitz_for
+        (ops/lipschitz.py) power-iterates this so the step size reflects the
+        weights (the unweighted λ_max(AᵀA) can underestimate by max(w))."""
+        return self.A.T @ (self.w * (self.A @ v))
+
+    def smooth_value(self, x: Array) -> Array:
+        r = self.residual(x)
+        return 0.5 * jnp.sum(self.w * r * r) + 0.5 * self.alpha2 * (x @ x)
+
+    def smooth_grad(self, x: Array) -> Array:
+        return self.A.T @ (self.w * self.residual(x)) + self.alpha2 * x
+
+    def smooth_value_and_grad(self, x: Array):
+        r = self.residual(x)
+        val = 0.5 * jnp.sum(self.w * r * r) + 0.5 * self.alpha2 * (x @ x)
+        return val, self.A.T @ (self.w * r) + self.alpha2 * x
+
+    def prox(self, v: Array, tau: Array) -> Array:
+        return soft_threshold(v, tau * self.alpha1)
+
+    def nonsmooth_value(self, x: Array) -> Array:
+        return self.alpha1 * jnp.sum(jnp.abs(x))
+
+    def objective(self, x: Array) -> Array:
+        return self.smooth_value(x) + self.nonsmooth_value(x)
+
+    def x0(self) -> Array:
+        return jnp.zeros(self.dim, dtype=self.A.dtype)
+
+    def to_gram(self):
+        """``Q = Aᵀdiag(w)A`` — the weighted normal equations; the Gram-form
+        solvers and the CD oracle then run unchanged."""
+        from .least_squares import GramLeastSquares
+
+        Aw = self.A * self.w[:, None]
+        return GramLeastSquares(
+            Q=self.A.T @ Aw,
+            c=Aw.T @ self.b,
+            btb=jnp.sum(self.w * self.b * self.b),
+            alpha1=self.alpha1,
+            alpha2=self.alpha2,
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HuberRegression:
+    """Robust regression: ``g(x) = Σᵢ huber_δ(aᵢᵀx − bᵢ) + ½α₂‖x‖²``,
+    ``h = α₁‖x‖₁``, with ``huber_δ(r) = ½r²`` for |r| ≤ δ and
+    ``δ|r| − ½δ²`` beyond. The smooth part's curvature is bounded by the
+    quadratic branch (ψ′ ≤ 1), so ``L = λ_max(AᵀA) + α₂`` — the unweighted
+    Lipschitz estimate is valid and the prox-gradient solvers run unchanged.
+    Not in the reference."""
+
+    A: Array
+    b: Array
+    delta: Array
+    alpha1: Array
+    alpha2: Array
+
+    @classmethod
+    def create(cls, A, b, delta: float = 1.0, alpha1: float = 0.0,
+               alpha2: float = 0.0, dtype=jnp.float32):
+        return cls(
+            A=jnp.asarray(A, dtype),
+            b=jnp.asarray(b, dtype),
+            delta=jnp.asarray(delta, dtype),
+            alpha1=jnp.asarray(alpha1, dtype),
+            alpha2=jnp.asarray(alpha2, dtype),
+        )
+
+    @property
+    def dim(self) -> int:
+        return self.A.shape[-1]
+
+    @property
+    def ridge_in_smooth(self) -> bool:
+        return True
+
+    def residual(self, x: Array) -> Array:
+        return self.A @ x - self.b
+
+    def _huber(self, r: Array) -> Array:
+        a = jnp.abs(r)
+        return jnp.where(a <= self.delta, 0.5 * r * r,
+                         self.delta * (a - 0.5 * self.delta))
+
+    def smooth_value(self, x: Array) -> Array:
+        return jnp.sum(self._huber(self.residual(x))) + 0.5 * self.alpha2 * (x @ x)
+
+    def smooth_grad(self, x: Array) -> Array:
+        psi = jnp.clip(self.residual(x), -self.delta, self.delta)
+        return self.A.T @ psi + self.alpha2 * x
+
+    def smooth_value_and_grad(self, x: Array):
+        r = self.residual(x)
+        val = jnp.sum(self._huber(r)) + 0.5 * self.alpha2 * (x @ x)
+        psi = jnp.clip(r, -self.delta, self.delta)
+        return val, self.A.T @ psi + self.alpha2 * x
+
+    def prox(self, v: Array, tau: Array) -> Array:
+        return soft_threshold(v, tau * self.alpha1)
+
+    def nonsmooth_value(self, x: Array) -> Array:
+        return self.alpha1 * jnp.sum(jnp.abs(x))
+
+    def objective(self, x: Array) -> Array:
+        return self.smooth_value(x) + self.nonsmooth_value(x)
+
+    def x0(self) -> Array:
+        return jnp.zeros(self.dim, dtype=self.A.dtype)
