@@ -6,6 +6,9 @@ from .prox import (
     prox_nonneg,
     prox_box,
     prox_zero,
+    prox_slope,
+    slope_norm,
+    isotonic_regression,
 )
 from .objective import compute_objective
 from .lipschitz import (
@@ -23,6 +26,9 @@ __all__ = [
     "prox_nonneg",
     "prox_box",
     "prox_zero",
+    "prox_slope",
+    "slope_norm",
+    "isotonic_regression",
     "compute_objective",
     "estimate_lipschitz",
     "estimate_lipschitz_gram",

@@ -10,6 +10,7 @@ out the composite-optimization problem class.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -64,3 +65,68 @@ def prox_zero(v: Array, tau: Array = 0.0) -> Array:
     """Prox of ``h = 0`` (identity) — used for pure smooth problems (ridge)."""
     del tau
     return v
+
+
+def isotonic_regression(w: Array, increasing: bool = True) -> Array:
+    """Euclidean projection of ``w`` (1-D) onto the monotone cone.
+
+    TPU-native formulation: instead of the sequential pool-adjacent-violators
+    stack (data-dependent control flow — hostile to XLA), this evaluates the
+    classic minimax characterization of the isotonic fit,
+
+        z_i = max_{j<=i} min_{k>=i} mean(w[j..k])        (non-decreasing)
+
+    as three dense O(n²) array ops (prefix-sum outer difference, cumulative
+    max, reversed cumulative min) — no data-dependent shapes, vmappable,
+    everything on the VPU. O(n²) memory: intended for the n ≤ a-few-thousand
+    coefficient vectors of this problem class, not megapoint curves.
+
+    Not in the reference; foundation for the SLOPE prox (``prox_slope``).
+    """
+    if not increasing:
+        return -isotonic_regression(-w, increasing=True)
+    n = w.shape[-1]
+    dtype = w.dtype
+    P = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(w)])  # (n+1,)
+    j = jnp.arange(n)[:, None]
+    k = jnp.arange(n)[None, :]
+    length = (k + 1 - j).astype(dtype)
+    # mean(w[j..k]) for j <= k; lower triangle (j > k) masked to -inf so the
+    # running max over j ignores it.
+    means = (P[k + 1] - P[j]) / jnp.where(length > 0, length, 1.0)
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    means = jnp.where(j <= k, means, neg_inf)
+    # C[i, k] = max_{j<=i} mean(w[j..k])
+    C = jax.lax.cummax(means, axis=0)
+    # z_i = min_{k>=i} C[i, k]
+    R = jnp.flip(jax.lax.cummin(jnp.flip(C, axis=1), axis=1), axis=1)
+    return jnp.diagonal(R)
+
+
+def prox_slope(v: Array, lam: Array) -> Array:
+    """Prox of the sorted-L1 (SLOPE / OWL) norm ``h(x) = Σ_i λ_i |x|_(i)``
+    with ``λ_1 ≥ … ≥ λ_n ≥ 0`` and ``|x|_(1) ≥ … ≥ |x|_(n)`` the magnitudes
+    in decreasing order.
+
+    Algorithm (Bogdan et al. 2015, "SLOPE — Adaptive variable selection via
+    convex optimization", FastProxSL1): sort ``|v|`` decreasing, subtract the
+    λ ladder, project onto the non-increasing cone, clip at zero, undo the
+    sort and signs. The isotonic projection uses the dense minimax form
+    (``isotonic_regression``) so the whole prox is one fused XLA program.
+
+    ``lam`` may be pre-scaled by the step size (pass ``tau * lam``); a scalar
+    ``lam`` broadcasts to a constant ladder, recovering ``soft_threshold``.
+    """
+    lam = jnp.broadcast_to(jnp.asarray(lam, v.dtype), v.shape)
+    u = jnp.abs(v)
+    order = jnp.argsort(-u)
+    z = isotonic_regression(u[order] - lam, increasing=False)
+    z = jnp.maximum(z, 0.0)
+    inv = jnp.argsort(order)
+    return jnp.sign(v) * z[inv]
+
+
+def slope_norm(x: Array, lam: Array) -> Array:
+    """The sorted-L1 norm value ``Σ_i λ_i |x|_(i)`` (λ non-increasing)."""
+    lam = jnp.broadcast_to(jnp.asarray(lam, x.dtype), x.shape)
+    return jnp.sum(lam * jnp.sort(jnp.abs(x))[::-1])

@@ -8,6 +8,8 @@ from .extensions import (
     NonNegativeLeastSquares,
     GroupLassoLeastSquares,
     BoxConstrainedLeastSquares,
+    SlopeLeastSquares,
+    slope_lambda_bh,
 )
 from .generators import (
     generate_boston_like,
@@ -25,6 +27,8 @@ __all__ = [
     "NonNegativeLeastSquares",
     "GroupLassoLeastSquares",
     "BoxConstrainedLeastSquares",
+    "SlopeLeastSquares",
+    "slope_lambda_bh",
     "load_boston_csv",
     "synthetic_boston",
     "CustomProblem",

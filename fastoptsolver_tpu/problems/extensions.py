@@ -14,11 +14,20 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import Array
 
-from ..ops.prox import prox_box, prox_group_lasso, prox_nonneg, soft_threshold
+from ..ops.prox import (
+    prox_box,
+    prox_group_lasso,
+    prox_nonneg,
+    prox_slope,
+    slope_norm,
+    soft_threshold,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -139,6 +148,47 @@ class BoxConstrainedLeastSquares(_LSBase):
     def x0(self) -> Array:
         z = jnp.zeros(self.dim, dtype=self.A.dtype)
         return jnp.clip(z, self.lower, self.upper)
+
+
+def slope_lambda_bh(n: int, q: float = 0.1, sigma: float = 1.0, dtype=None):
+    """Benjamini–Hochberg λ ladder for SLOPE:
+    ``λ_i = σ · Φ⁻¹(1 − q·i / (2n))``, i = 1..n (non-increasing by
+    construction). The standard FDR-controlling sequence from Bogdan et al.
+    2015; pass to :class:`SlopeLeastSquares`."""
+    from jax.scipy.stats import norm
+
+    if dtype is None:  # widest enabled float: no truncation warning under f32
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    i = jnp.arange(1, n + 1, dtype=dtype)
+    return sigma * norm.ppf(1.0 - q * i / (2.0 * n))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SlopeLeastSquares(_LSBase):
+    """SLOPE / OWL regression: ``min ½‖Ax−b‖² + Σ_i λ_i |x|_(i)`` with a
+    non-increasing penalty ladder λ applied to the magnitudes in decreasing
+    order (sorted-L1 norm). Equal λ recovers the lasso; the BH ladder
+    (``slope_lambda_bh``) gives FDR control. Prox is ``ops/prox.py:
+    prox_slope`` (dense isotonic projection — one fused XLA program).
+    Not in the reference; standard composite-optimization extension."""
+
+    lam: Array = None  # (n,) non-increasing, nonnegative
+
+    @classmethod
+    def create(cls, A, b, lam, dtype=jnp.float32):
+        A = jnp.asarray(A, dtype)
+        lam = jnp.broadcast_to(jnp.asarray(lam, dtype), (A.shape[-1],))
+        lam_np = np.asarray(lam)
+        if np.any(np.diff(lam_np) > 0) or np.any(lam_np < 0):
+            raise ValueError("SLOPE lambda ladder must be non-increasing and >= 0")
+        return cls(A=A, b=jnp.asarray(b, dtype), lam=lam)
+
+    def prox(self, v: Array, tau: Array) -> Array:
+        return prox_slope(v, tau * self.lam)
+
+    def nonsmooth_value(self, x: Array) -> Array:
+        return slope_norm(x, self.lam)
 
 
 @jax.tree_util.register_dataclass
