@@ -10,6 +10,8 @@ from .extensions import (
     BoxConstrainedLeastSquares,
     SlopeLeastSquares,
     slope_lambda_bh,
+    QuantileRegression,
+    PoissonRegression,
 )
 from .generators import (
     generate_boston_like,
@@ -29,6 +31,8 @@ __all__ = [
     "BoxConstrainedLeastSquares",
     "SlopeLeastSquares",
     "slope_lambda_bh",
+    "QuantileRegression",
+    "PoissonRegression",
     "load_boston_csv",
     "synthetic_boston",
     "CustomProblem",

@@ -150,6 +150,173 @@ class BoxConstrainedLeastSquares(_LSBase):
         return jnp.clip(z, self.lower, self.upper)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QuantileRegression:
+    """Smoothed quantile regression: ``g(x) = Σᵢ ρ_τ^μ(aᵢᵀx − bᵢ) + ½α₂‖x‖²``,
+    ``h = α₁‖x‖₁``, where ρ_τ^μ is the Moreau envelope (smoothing parameter
+    μ > 0) of the pinball loss in the residual r = aᵀx − b: under-prediction
+    (r < 0) costs τ|r|, over-prediction costs (1−τ)r, so the minimizer is the
+    τ-th conditional quantile. ρ_τ(r) = max((1−τ)r, −τr), and
+
+        ρ_τ^μ(r) = r²/(2μ)              for −μτ ≤ r ≤ μ(1−τ)
+                   (1−τ)r − μ(1−τ)²/2    for r >  μ(1−τ)
+                   −τr − μτ²/2           for r < −μτ
+
+    The gradient is ``Aᵀ clip(r/μ, −τ, 1−τ)`` with curvature ≤ 1/μ, so
+    ``L = λ_max(AᵀA)/μ + α₂`` (supplied via ``normal_matvec``) and every
+    prox-gradient solver runs unchanged. As μ → 0 the solution approaches the
+    exact τ-th conditional quantile fit (convolution smoothing, e.g.
+    He et al. 2021 "smoothed quantile regression"). Not in the reference."""
+
+    A: Array
+    b: Array
+    tau_q: Array   # quantile level τ ∈ (0, 1)
+    mu: Array      # Moreau smoothing parameter > 0
+    alpha1: Array
+    alpha2: Array
+
+    @classmethod
+    def create(cls, A, b, tau: float = 0.5, mu: float = 0.1,
+               alpha1: float = 0.0, alpha2: float = 0.0, dtype=jnp.float32):
+        if not 0.0 < tau < 1.0:
+            raise ValueError(f"quantile level tau must be in (0, 1), got {tau}")
+        if mu <= 0.0:
+            raise ValueError(f"smoothing mu must be > 0, got {mu}")
+        return cls(
+            A=jnp.asarray(A, dtype),
+            b=jnp.asarray(b, dtype),
+            tau_q=jnp.asarray(tau, dtype),
+            mu=jnp.asarray(mu, dtype),
+            alpha1=jnp.asarray(alpha1, dtype),
+            alpha2=jnp.asarray(alpha2, dtype),
+        )
+
+    @property
+    def dim(self) -> int:
+        return self.A.shape[-1]
+
+    @property
+    def ridge_in_smooth(self) -> bool:
+        return True
+
+    def residual(self, x: Array) -> Array:
+        return self.A @ x - self.b
+
+    def normal_matvec(self, v: Array) -> Array:
+        """Curvature-bound operator AᵀA/μ (ψ″ ≤ 1/μ on the quadratic branch)."""
+        return self.A.T @ (self.A @ v) / self.mu
+
+    def _rho(self, r: Array) -> Array:
+        t, mu = self.tau_q, self.mu
+        quad = r * r / (2.0 * mu)
+        hi = (1.0 - t) * r - mu * (1.0 - t) ** 2 / 2.0
+        lo = -t * r - mu * t * t / 2.0
+        return jnp.where(r > mu * (1.0 - t), hi, jnp.where(r < -mu * t, lo, quad))
+
+    def smooth_value(self, x: Array) -> Array:
+        return jnp.sum(self._rho(self.residual(x))) + 0.5 * self.alpha2 * (x @ x)
+
+    def smooth_grad(self, x: Array) -> Array:
+        psi = jnp.clip(self.residual(x) / self.mu, -self.tau_q, 1.0 - self.tau_q)
+        return self.A.T @ psi + self.alpha2 * x
+
+    def smooth_value_and_grad(self, x: Array):
+        r = self.residual(x)
+        psi = jnp.clip(r / self.mu, -self.tau_q, 1.0 - self.tau_q)
+        return (
+            jnp.sum(self._rho(r)) + 0.5 * self.alpha2 * (x @ x),
+            self.A.T @ psi + self.alpha2 * x,
+        )
+
+    def prox(self, v: Array, tau: Array) -> Array:
+        return soft_threshold(v, tau * self.alpha1)
+
+    def nonsmooth_value(self, x: Array) -> Array:
+        return self.alpha1 * jnp.sum(jnp.abs(x))
+
+    def objective(self, x: Array) -> Array:
+        return self.smooth_value(x) + self.nonsmooth_value(x)
+
+    def pinball_value(self, x: Array) -> Array:
+        """The *exact* (unsmoothed) pinball objective — for reporting."""
+        r = self.residual(x)
+        return jnp.sum(jnp.maximum((1.0 - self.tau_q) * r, -self.tau_q * r))
+
+    def x0(self) -> Array:
+        return jnp.zeros(self.dim, dtype=self.A.dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PoissonRegression:
+    """L1/L2-regularized Poisson regression (log-linear counts):
+    ``g(x) = Σᵢ (exp(aᵢᵀx) − bᵢ·aᵢᵀx) + ½α₂‖x‖²``, ``h = α₁‖x‖₁`` — the
+    Poisson negative log-likelihood up to the x-independent ``log bᵢ!`` term.
+
+    The Hessian ``Aᵀdiag(exp(Ax))A`` is unbounded, so there is no global
+    Lipschitz constant: solve with ``backtracking=True`` (the Armijo search,
+    solvers/common.py). ``normal_matvec`` supplies the curvature at x₀ = 0
+    (exactly AᵀA) as the starting step scale; backtracking then adapts.
+    Not in the reference."""
+
+    A: Array
+    b: Array  # nonnegative counts
+    alpha1: Array
+    alpha2: Array
+
+    @classmethod
+    def create(cls, A, b, alpha1: float = 0.0, alpha2: float = 0.0,
+               dtype=jnp.float32):
+        b = jnp.asarray(b, dtype)
+        return cls(
+            A=jnp.asarray(A, dtype),
+            b=b,
+            alpha1=jnp.asarray(alpha1, dtype),
+            alpha2=jnp.asarray(alpha2, dtype),
+        )
+
+    @property
+    def dim(self) -> int:
+        return self.A.shape[-1]
+
+    @property
+    def ridge_in_smooth(self) -> bool:
+        return True
+
+    def normal_matvec(self, v: Array) -> Array:
+        """Curvature at the solver start x₀ = 0: Aᵀ diag(e⁰) A = AᵀA."""
+        return self.A.T @ (self.A @ v)
+
+    def smooth_value(self, x: Array) -> Array:
+        eta = self.A @ x
+        return jnp.sum(jnp.exp(eta) - self.b * eta) + 0.5 * self.alpha2 * (x @ x)
+
+    def smooth_grad(self, x: Array) -> Array:
+        eta = self.A @ x
+        return self.A.T @ (jnp.exp(eta) - self.b) + self.alpha2 * x
+
+    def smooth_value_and_grad(self, x: Array):
+        eta = self.A @ x
+        ex = jnp.exp(eta)
+        return (
+            jnp.sum(ex - self.b * eta) + 0.5 * self.alpha2 * (x @ x),
+            self.A.T @ (ex - self.b) + self.alpha2 * x,
+        )
+
+    def prox(self, v: Array, tau: Array) -> Array:
+        return soft_threshold(v, tau * self.alpha1)
+
+    def nonsmooth_value(self, x: Array) -> Array:
+        return self.alpha1 * jnp.sum(jnp.abs(x))
+
+    def objective(self, x: Array) -> Array:
+        return self.smooth_value(x) + self.nonsmooth_value(x)
+
+    def x0(self) -> Array:
+        return jnp.zeros(self.dim, dtype=self.A.dtype)
+
+
 def slope_lambda_bh(n: int, q: float = 0.1, sigma: float = 1.0, dtype=None):
     """Benjamini–Hochberg λ ladder for SLOPE:
     ``λ_i = σ · Φ⁻¹(1 − q·i / (2n))``, i = 1..n (non-increasing by
