@@ -22,7 +22,7 @@ __version__ = "0.1.0"
 
 from . import batch, kernels, ops, parallel, problems, runtime, solvers, utils
 from .api import solve
-from .estimators import Lasso, ElasticNet, Ridge, LassoCV
+from .estimators import Lasso, ElasticNet, Ridge, LassoCV, MultiTaskLasso
 from .ops import (
     soft_threshold,
     prox_l1,

@@ -116,6 +116,63 @@ class Ridge(_BaseRegressor):
         return "ridge", 0.0, self.alpha
 
 
+class MultiTaskLasso:
+    """Joint-sparsity multi-task lasso (sklearn.linear_model.MultiTaskLasso
+    semantics): minimizes ``1/(2·n_samples)·‖Y − XW‖_F² + α·Σ_j ‖W_{j,:}‖₂``
+    over W ∈ R^{n_features × n_tasks}; all tasks share one support. Runs the
+    matrix-iterate FISTA on problems/extensions.py:MultiTaskLeastSquares
+    (internal α₁ = n_samples·α). ``coef_`` follows sklearn's
+    (n_tasks, n_features) orientation; ``intercept_`` is (n_tasks,)."""
+
+    def __init__(self, alpha=1.0, fit_intercept=True, max_iter=2000,
+                 tol=0.0, dtype=jnp.float32):
+        self.alpha = float(alpha)
+        self.fit_intercept = bool(fit_intercept)
+        self.max_iter = int(max_iter)
+        self.tol = float(tol)
+        self.dtype = dtype
+
+    def fit(self, X, Y):
+        from .problems import MultiTaskLeastSquares
+        from .solvers import FISTAConfig, fista
+
+        X = np.asarray(X, np.float64)
+        Y = np.asarray(Y, np.float64)
+        if self.fit_intercept:
+            self._x_mean = X.mean(axis=0)
+            self._y_mean = Y.mean(axis=0)
+            Xc, Yc = X - self._x_mean, Y - self._y_mean
+        else:
+            self._x_mean = np.zeros(X.shape[1])
+            self._y_mean = np.zeros(Y.shape[1])
+            Xc, Yc = X, Y
+        problem = MultiTaskLeastSquares.create(
+            Xc, Yc, alpha1=X.shape[0] * self.alpha, dtype=self.dtype
+        )
+        res = fista(
+            problem,
+            FISTAConfig(max_iter=self.max_iter, tol=self.tol),
+            key=jax.random.PRNGKey(0),
+        )
+        W = np.asarray(res.x, np.float64)            # (n_features, n_tasks)
+        self.coef_ = W.T                             # sklearn orientation
+        self.intercept_ = self._y_mean - self._x_mean @ W
+        self.n_iter_ = int(res.n_iters)
+        return self
+
+    def predict(self, X):
+        return np.asarray(X, np.float64) @ self.coef_.T + self.intercept_
+
+    def score(self, X, Y):
+        """Mean R² across tasks (sklearn's multioutput='uniform_average')."""
+        Y = np.asarray(Y, np.float64)
+        R = Y - self.predict(X)
+        ss_res = np.sum(R * R, axis=0)
+        D = Y - Y.mean(axis=0)
+        ss_tot = np.sum(D * D, axis=0)
+        return float(np.mean(1.0 - ss_res / np.where(ss_tot > 0, ss_tot, 1.0)))
+
+
 class LassoCV(_BaseRegressor):
     """K-fold cross-validated lasso over an α ladder — the whole
     (folds × ladder) grid plus the refit path solves as ONE device call

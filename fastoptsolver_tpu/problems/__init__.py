@@ -12,6 +12,7 @@ from .extensions import (
     slope_lambda_bh,
     QuantileRegression,
     PoissonRegression,
+    MultiTaskLeastSquares,
 )
 from .generators import (
     generate_boston_like,
@@ -33,6 +34,7 @@ __all__ = [
     "slope_lambda_bh",
     "QuantileRegression",
     "PoissonRegression",
+    "MultiTaskLeastSquares",
     "load_boston_csv",
     "synthetic_boston",
     "CustomProblem",

@@ -152,6 +152,78 @@ class BoxConstrainedLeastSquares(_LSBase):
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class MultiTaskLeastSquares:
+    """Multi-task (joint-sparsity) regression with matrix coefficients
+    X ∈ R^{n×T}: ``min ½‖AX−B‖_F² + ½α₂‖X‖_F² + α₁ Σ_j ‖X_{j,:}‖₂`` — the
+    L2,1 row-group penalty makes the T tasks share one support (a feature is
+    selected for all tasks or none). The solvers run unchanged on the matrix
+    iterate: their inner products are ``jnp.vdot`` and norms Frobenius, and
+    the Lipschitz constant is the same λ_max(AᵀA) + α₂ as the vector case.
+    Not in the reference; sklearn's MultiTaskLasso/MultiTaskElasticNet
+    semantics (see estimators.MultiTaskLasso for the α mapping)."""
+
+    A: Array   # (m, n)
+    B: Array   # (m, T)
+    alpha1: Array  # row-group penalty weight
+    alpha2: Array
+
+    @classmethod
+    def create(cls, A, B, alpha1: float = 0.0, alpha2: float = 0.0,
+               dtype=jnp.float32):
+        B = jnp.asarray(B, dtype)
+        if B.ndim != 2:
+            raise ValueError(f"B must be (m, n_tasks), got shape {B.shape}")
+        return cls(
+            A=jnp.asarray(A, dtype),
+            B=B,
+            alpha1=jnp.asarray(alpha1, dtype),
+            alpha2=jnp.asarray(alpha2, dtype),
+        )
+
+    @property
+    def dim(self) -> int:
+        return self.A.shape[-1]
+
+    @property
+    def n_tasks(self) -> int:
+        return self.B.shape[-1]
+
+    @property
+    def ridge_in_smooth(self) -> bool:
+        return True
+
+    def residual(self, X: Array) -> Array:
+        return self.A @ X - self.B
+
+    def smooth_value(self, X: Array) -> Array:
+        R = self.residual(X)
+        return 0.5 * jnp.vdot(R, R) + 0.5 * self.alpha2 * jnp.vdot(X, X)
+
+    def smooth_grad(self, X: Array) -> Array:
+        return self.A.T @ self.residual(X) + self.alpha2 * X
+
+    def smooth_value_and_grad(self, X: Array):
+        R = self.residual(X)
+        return (
+            0.5 * jnp.vdot(R, R) + 0.5 * self.alpha2 * jnp.vdot(X, X),
+            self.A.T @ R + self.alpha2 * X,
+        )
+
+    def prox(self, V: Array, tau: Array) -> Array:
+        return prox_group_lasso(V, tau * self.alpha1, axis=-1)
+
+    def nonsmooth_value(self, X: Array) -> Array:
+        return self.alpha1 * jnp.sum(jnp.linalg.norm(X, axis=-1))
+
+    def objective(self, X: Array) -> Array:
+        return self.smooth_value(X) + self.nonsmooth_value(X)
+
+    def x0(self) -> Array:
+        return jnp.zeros((self.dim, self.n_tasks), dtype=self.A.dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class QuantileRegression:
     """Smoothed quantile regression: ``g(x) = Σᵢ ρ_τ^μ(aᵢᵀx − bᵢ) + ½α₂‖x‖²``,
     ``h = α₁‖x‖₁``, where ρ_τ^μ is the Moreau envelope (smoothing parameter
