@@ -4,6 +4,15 @@ from .cd import CDConfig, cd, certified_optimum
 from .lbfgs import LBFGSConfig, lbfgs, lbfgs_with_history
 from .owlqn import OWLQNConfig, owlqn, owlqn_with_history
 from .svrg import SVRGConfig, prox_svrg
+from .genlasso import (
+    GenLassoConfig,
+    GenLassoResult,
+    gen_lasso,
+    fused_lasso,
+    tv_denoise,
+    trend_filter,
+    difference_matrix,
+)
 from .ista import ISTAConfig, ista, ista_with_history
 from .fista import (
     FISTAConfig,
@@ -29,6 +38,13 @@ __all__ = [
     "owlqn_with_history",
     "SVRGConfig",
     "prox_svrg",
+    "GenLassoConfig",
+    "GenLassoResult",
+    "gen_lasso",
+    "fused_lasso",
+    "tv_denoise",
+    "trend_filter",
+    "difference_matrix",
     "Metrics",
     "History",
     "SolveResult",

@@ -137,3 +137,26 @@ def fista_np(
         if tol_ratio > 0.0 and ratio < tol_ratio:
             break
     return x, trace
+
+
+def tv1d_np(y, lam, n_iter=20000):
+    """1D total-variation denoising oracle: accelerated projected gradient on
+    the dual  min_{‖w‖∞ ≤ λ} ½‖y − Dᵀw‖²  (x = y − Dᵀw), float64.
+
+    Independent of the library's ADMM path — a different algorithm on a
+    different (dual) formulation; λmax(DDᵀ) < 4 gives the fixed 1/4 step.
+    """
+    y = np.asarray(y, np.float64)
+    n = y.shape[0]
+    w = np.zeros(n - 1)
+    v = w.copy()
+    t = 1.0
+    Dt = lambda u: np.concatenate([[-u[0]], u[:-1] - u[1:], [u[-1]]])
+    D = lambda x: x[1:] - x[:-1]
+    for _ in range(n_iter):
+        grad = D(Dt(v) - y)
+        w_new = np.clip(v - 0.25 * grad, -lam, lam)
+        t_new = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t * t))
+        v = w_new + ((t - 1.0) / t_new) * (w_new - w)
+        w, t = w_new, t_new
+    return y - Dt(w)
