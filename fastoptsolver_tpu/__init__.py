@@ -22,7 +22,14 @@ __version__ = "0.1.0"
 
 from . import batch, kernels, ops, parallel, problems, runtime, solvers, utils
 from .api import solve
-from .estimators import Lasso, ElasticNet, Ridge, LassoCV, MultiTaskLasso
+from .estimators import (
+    Lasso,
+    ElasticNet,
+    Ridge,
+    LassoCV,
+    ElasticNetCV,
+    MultiTaskLasso,
+)
 from .ops import (
     soft_threshold,
     prox_l1,

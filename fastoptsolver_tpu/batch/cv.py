@@ -58,7 +58,8 @@ def _ladder(amax: Array, n_alphas: int, eps: float, dtype) -> Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_folds", "n_alphas", "cfg", "one_se_rule")
+    jax.jit,
+    static_argnames=("k_folds", "n_alphas", "cfg", "one_se_rule", "l1_ratio"),
 )
 def _cv_core(
     A: Array,
@@ -70,6 +71,7 @@ def _cv_core(
     alpha2,
     cfg: BatchFISTAConfig,
     one_se_rule: bool,
+    l1_ratio: float = 1.0,
 ) -> CVResult:
     m, n = A.shape
     dtype = A.dtype
@@ -105,14 +107,20 @@ def _cv_core(
     L_all = jax.vmap(estimate_lipschitz_gram)(Q_all)
 
     B = (k_folds + 1) * K
-    a2 = jnp.asarray(alpha2, dtype)
+    # Elastic-net ladders tie α₂ to the L1 ladder through l1_ratio (sklearn's
+    # ElasticNetCV semantics: α₁ = α·l1_ratio, α₂ = α·(1−l1_ratio), both
+    # scaled by the same ladder); α₂ then varies per instance, which the
+    # per-instance GramBatch fields carry for free.
+    a1_grid = jnp.tile(alphas, k_folds + 1)
+    ratio = (1.0 - l1_ratio) / l1_ratio
+    a2_grid = jnp.asarray(alpha2, dtype) + a1_grid * jnp.asarray(ratio, dtype)
     gb = GramBatch(
         Q=jnp.repeat(Q_all, K, axis=0).transpose(1, 2, 0),  # (n, n, B)
         c=jnp.repeat(c_all, K, axis=0).T,  # (n, B)
         btb=jnp.repeat(btb_all, K),
-        alpha1=jnp.tile(alphas, k_folds + 1),
-        alpha2=jnp.full((B,), a2, dtype),
-        L=jnp.repeat(L_all, K) + a2,
+        alpha1=a1_grid,
+        alpha2=a2_grid,
+        L=jnp.repeat(L_all, K) + a2_grid,
     )
     res = fista_gram_batch(gb, cfg)
 
@@ -167,8 +175,12 @@ def cv_lasso(
     one_se_rule: bool = False,
     fit_intercept: bool = False,
     dtype=jnp.float32,
+    l1_ratio: float = 1.0,
 ) -> CVResult:
-    """Cross-validated lasso (elastic-net with ``alpha2 > 0``).
+    """Cross-validated lasso (elastic-net with ``alpha2 > 0`` for a fixed
+    extra ridge, or ``l1_ratio < 1`` for a ladder-tied elastic-net grid —
+    ``alphas`` then ladder the L1 strength α₁ and each instance carries
+    α₂ = α₁·(1−l1_ratio)/l1_ratio on top of ``alpha2``).
 
     ``key`` shuffles rows before folding (recommended for ordered data);
     folds are contiguous row blocks after the shuffle. ``one_se_rule=True``
@@ -191,8 +203,11 @@ def cv_lasso(
         b = b - mu_b
     if alphas is not None:
         n_alphas = len(alphas)
+    if not 0.0 < l1_ratio <= 1.0:
+        raise ValueError(f"l1_ratio must be in (0, 1], got {l1_ratio}")
     res = _cv_core(
-        A, b, alphas, k_folds, n_alphas, eps, alpha2, cfg, one_se_rule
+        A, b, alphas, k_folds, n_alphas, eps, alpha2, cfg, one_se_rule,
+        l1_ratio=float(l1_ratio),
     )
     if fit_intercept:
         res = res._replace(intercept=mu_b - mu_A @ res.coef)

@@ -173,6 +173,64 @@ class MultiTaskLasso:
         return float(np.mean(1.0 - ss_res / np.where(ss_tot > 0, ss_tot, 1.0)))
 
 
+class ElasticNetCV(_BaseRegressor):
+    """K-fold cross-validated elastic-net at fixed ``l1_ratio``
+    (sklearn.linear_model.ElasticNetCV semantics): the α ladder carries both
+    penalties (α₁ = m·α·l1_ratio, α₂ = m·α·(1−l1_ratio)) and the whole
+    (folds × ladder) grid plus the refit path solves as ONE device call.
+    After ``fit``: ``alpha_``, ``alphas_``, ``mse_path_`` ((n_alphas, cv)),
+    ``coef_``, ``intercept_``, ``coef_path_``."""
+
+    def __init__(self, l1_ratio=0.5, alphas=None, n_alphas=100, eps=1e-3,
+                 cv=5, fit_intercept=True, max_iter=2000, one_se_rule=False,
+                 shuffle_seed=0, dtype=jnp.float32):
+        super().__init__(alpha=1.0, l1_ratio=l1_ratio,
+                         fit_intercept=fit_intercept, max_iter=max_iter,
+                         dtype=dtype)
+        self.alphas = alphas
+        self.n_alphas = int(n_alphas)
+        self.eps = float(eps)
+        self.cv = int(cv)
+        self.one_se_rule = bool(one_se_rule)
+        self.shuffle_seed = shuffle_seed
+
+    def fit(self, X, y):
+        X = np.asarray(X, np.float64)
+        y = np.asarray(y, np.float64)
+        m = X.shape[0]
+        scale = m * self.l1_ratio  # sklearn per-sample α → internal α₁
+        alphas = self.alphas
+        if alphas is not None:
+            alphas = np.asarray(alphas, np.float64) * scale
+        key = (
+            jax.random.PRNGKey(self.shuffle_seed)
+            if self.shuffle_seed is not None
+            else None
+        )
+        res = cv_lasso(
+            X, y,
+            k_folds=self.cv,
+            alphas=alphas,
+            n_alphas=self.n_alphas,
+            eps=self.eps,
+            key=key,
+            cfg=BatchFISTAConfig(max_iter=self.max_iter, check_every=25,
+                                 rel_gap_tol=1e-7),
+            one_se_rule=self.one_se_rule,
+            fit_intercept=self.fit_intercept,
+            dtype=self.dtype,
+            l1_ratio=self.l1_ratio,
+        )
+        self.alphas_ = np.asarray(res.alphas, np.float64) / scale
+        self.alpha_ = float(res.best_alpha) / scale
+        self.mse_path_ = np.asarray(res.mse_path, np.float64).T
+        self.coef_ = np.asarray(res.coef, np.float64)
+        self.coef_path_ = np.asarray(res.coef_path, np.float64)
+        self.intercept_ = float(res.intercept)
+        self.converged_ = bool(res.converged)
+        return self
+
+
 class LassoCV(_BaseRegressor):
     """K-fold cross-validated lasso over an α ladder — the whole
     (folds × ladder) grid plus the refit path solves as ONE device call

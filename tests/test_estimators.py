@@ -77,3 +77,62 @@ def test_lasso_cv_explicit_alphas(rng):
     est = LassoCV(alphas=alphas, cv=4, dtype=jnp.float64).fit(X, y)
     np.testing.assert_allclose(sorted(est.alphas_), sorted(alphas), rtol=1e-6)
     assert est.alpha_ in est.alphas_
+
+
+def test_elasticnet_cv_matches_sklearn(rng):
+    """Direct grid parity with sklearn.linear_model.ElasticNetCV: same
+    explicit α ladder, same contiguous unshuffled folds → same mse_path_,
+    selected α, and refit coefficients."""
+    from sklearn.linear_model import ElasticNetCV as SkElasticNetCV
+
+    from fastoptsolver_tpu import ElasticNetCV
+
+    X, y = _data(rng, m=120, n=8)
+    y = y - y.mean()  # fit_intercept=False comparison on centered data
+    alphas = np.geomspace(1.0, 1e-3, 6)
+    l1 = 0.6
+    ours = ElasticNetCV(
+        l1_ratio=l1, alphas=alphas, cv=4, fit_intercept=False,
+        shuffle_seed=None, max_iter=5000, dtype=jnp.float64,
+    ).fit(X, y)
+    sk = SkElasticNetCV(
+        l1_ratio=l1, alphas=alphas, cv=4, fit_intercept=False,
+        max_iter=100000, tol=1e-12,
+    ).fit(X, y)
+    np.testing.assert_allclose(ours.alphas_, sk.alphas_, rtol=1e-12)
+    np.testing.assert_allclose(ours.mse_path_, sk.mse_path_, rtol=1e-5)
+    assert ours.alpha_ == sk.alpha_
+    np.testing.assert_allclose(ours.coef_, sk.coef_, atol=1e-6)
+
+
+def test_elasticnet_cv_intercept_close_to_sklearn(rng):
+    from sklearn.linear_model import ElasticNetCV as SkElasticNetCV
+
+    from fastoptsolver_tpu import ElasticNetCV
+
+    X, y = _data(rng, m=160, n=6)
+    alphas = np.geomspace(0.5, 1e-3, 5)
+    ours = ElasticNetCV(
+        l1_ratio=0.5, alphas=alphas, cv=4, fit_intercept=True,
+        shuffle_seed=None, max_iter=5000, dtype=jnp.float64,
+    ).fit(X, y)
+    sk = SkElasticNetCV(
+        l1_ratio=0.5, alphas=alphas, cv=4, fit_intercept=True,
+        max_iter=100000, tol=1e-12,
+    ).fit(X, y)
+    # sklearn centers per training fold, we center once on the full data, so
+    # fold MSEs differ slightly; the refit model must still agree.
+    np.testing.assert_allclose(ours.coef_, sk.coef_, atol=1e-6)
+    np.testing.assert_allclose(ours.intercept_, sk.intercept_, atol=1e-6)
+
+
+def test_lasso_cv_is_elasticnet_cv_at_ratio_one(rng):
+    from fastoptsolver_tpu import ElasticNetCV, LassoCV
+
+    X, y = _data(rng, m=100, n=7)
+    kw = dict(alphas=np.geomspace(0.5, 1e-3, 4), cv=4, fit_intercept=True,
+              shuffle_seed=0, max_iter=3000, dtype=jnp.float64)
+    a = LassoCV(**kw).fit(X, y)
+    b = ElasticNetCV(l1_ratio=1.0, **kw).fit(X, y)
+    np.testing.assert_allclose(a.coef_, b.coef_, atol=1e-10)
+    assert a.alpha_ == b.alpha_
