@@ -3,7 +3,8 @@
 ``solve(A, b, "lasso", alpha1=0.5)`` builds the right problem representation
 and solver for you:
 
-- method: "fista" (default), "ista", "fista_delta", "lbfgs", "cd";
+- method: "fista" (default), "ista", "fista_delta", "lbfgs", "cd", "admm",
+  "owlqn", "svrg", "saga";
 - Gram form is used automatically when it pays (small n, tall A) so the
   iteration cost drops from O(mn) to O(n²);
 - accepts NumPy or JAX arrays; any extra keyword arguments flow into the
@@ -28,6 +29,7 @@ from .solvers import (
     ISTAConfig,
     LBFGSConfig,
     OWLQNConfig,
+    SAGAConfig,
     SVRGConfig,
     SolveResult,
     admm,
@@ -40,6 +42,7 @@ from .solvers import (
     lbfgs_with_history,
     owlqn,
     owlqn_with_history,
+    prox_saga,
     prox_svrg,
 )
 
@@ -52,6 +55,7 @@ _METHODS = {
     "admm": (ADMMConfig, admm, None),
     "owlqn": (OWLQNConfig, owlqn, owlqn_with_history),
     "svrg": (SVRGConfig, prox_svrg, None),
+    "saga": (SAGAConfig, prox_saga, None),
 }
 
 
@@ -82,9 +86,9 @@ def solve(
     if gram is None:
         # Gram precompute pays when A is tall and narrow (setup O(mn²) is
         # amortized by O(n²) iterations) and the method iterates on gradients.
-        # SVRG needs row access (minibatch gathers), so it stays on (A, b).
-        gram = method not in ("lbfgs", "svrg") and n <= 128 and m >= 4 * n
-    if gram and method not in ("lbfgs", "svrg"):
+        # SVRG/SAGA need row access (minibatch gathers), so they stay on (A, b).
+        gram = method not in ("lbfgs", "svrg", "saga") and n <= 128 and m >= 4 * n
+    if gram and method not in ("lbfgs", "svrg", "saga"):
         problem = problem.to_gram()
 
     valid = {f.name for f in dataclasses.fields(cfg_cls)}

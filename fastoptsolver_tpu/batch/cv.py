@@ -13,8 +13,14 @@ TPU-first tricks:
   ``Q_train_j = AᵀA − A_jᵀA_j`` (and likewise for ``c``, ``bᵀb``) — one full
   Gram plus one batched fold-Gram einsum, instead of k rebuilds over
   (k−1)/k of the rows. O(mn²) total work independent of k.
-- Fold remainder rows (m mod k) join every training set and no validation
-  set, so no padding/masking enters the solve.
+- Folds follow sklearn's KFold: contiguous blocks with the m mod k remainder
+  spread one row each across the first folds. Ragged folds are handled by a
+  padded gather against a sentinel zero row (zero rows contribute nothing to
+  fold Grams or validation sums), so the solve stays static-shaped.
+- **Per-fold penalty scaling**: sklearn's objective is per-sample
+  (``1/(2·m)``), so a fold fit over m−|fold j| training rows must carry
+  ``(m−|fold j|)/m`` of the full-data internal penalty. Fold instances'
+  (α₁, α₂) are scaled accordingly; the full-data refit keeps full scale.
 - The (k+1)·K instances (k fold-train problems + 1 full-data problem, each
   crossed with the α ladder) ride the feature-major ``GramBatch`` layout, so
   the best-α refit and the full coefficient path come out of the same call.
@@ -49,6 +55,7 @@ class CVResult(NamedTuple):
     intercept: Array  # scalar (0 unless fit_intercept)
     rel_gap: Array  # (k_folds+1, K) per-instance certified relative gap
     converged_grid: Array  # (k_folds+1, K) per-instance certification
+    iters: Array  # (k_folds+1, K) per-instance iteration counts
 
 
 def _ladder(amax: Array, n_alphas: int, eps: float, dtype) -> Array:
@@ -75,12 +82,28 @@ def _cv_core(
 ) -> CVResult:
     m, n = A.shape
     dtype = A.dtype
-    f = m // k_folds  # fold size; the m % k tail joins every training set
 
-    A_folds = A[: k_folds * f].reshape(k_folds, f, n)
-    b_folds = b[: k_folds * f].reshape(k_folds, f)
+    # sklearn KFold semantics: contiguous folds, remainder rows spread one
+    # each across the first (m % k) folds. Ragged sizes are static (m,
+    # k_folds are shape-level constants), handled by a padded gather against
+    # a sentinel zero row at index m.
+    f_lo, r = divmod(m, k_folds)
+    f_hi = f_lo + (1 if r else 0)
+    sizes = jnp.asarray(
+        [f_lo + (1 if j < r else 0) for j in range(k_folds)], jnp.int32
+    )
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(sizes)])[
+        :k_folds
+    ]
+    pos = jnp.arange(f_hi, dtype=jnp.int32)
+    valid = pos[None, :] < sizes[:, None]  # (k, f_hi)
+    idx = jnp.where(valid, starts[:, None] + pos[None, :], m)
+    A_pad = jnp.concatenate([A, jnp.zeros((1, n), dtype)], axis=0)
+    b_pad = jnp.concatenate([b, jnp.zeros((1,), dtype)])
+    A_folds = A_pad[idx]  # (k, f_hi, n) — sentinel rows are all-zero
+    b_folds = b_pad[idx]  # (k, f_hi)
 
-    # Full-data Gram (includes tail rows) and per-fold Grams, once each.
+    # Full-data Gram and per-fold Grams, once each.
     Q_full = A.T @ A
     c_full = A.T @ b
     btb_full = b @ b
@@ -111,9 +134,22 @@ def _cv_core(
     # ElasticNetCV semantics: α₁ = α·l1_ratio, α₂ = α·(1−l1_ratio), both
     # scaled by the same ladder); α₂ then varies per instance, which the
     # per-instance GramBatch fields carry for free.
-    a1_grid = jnp.tile(alphas, k_folds + 1)
+    #
+    # Per-fold penalty scaling (sklearn parity): `alphas`/`alpha2` arrive at
+    # full-data internal scale (m × per-sample α). sklearn's per-sample
+    # objective means fold j's fit over its m − |fold j| training rows must
+    # use (m − |fold j|)/m of that — otherwise fold models are over-penalized
+    # by k/(k−1) and mse_path_ drifts from sklearn's.
+    train_frac = jnp.concatenate(
+        [(m - sizes).astype(dtype) / m, jnp.ones((1,), dtype)]
+    )  # (k+1,): fold-train fractions, then 1.0 for the full-data refit
+    scale_rep = jnp.repeat(train_frac, K)  # (B,) — group-major, matches Q_all
+    a1_grid = jnp.tile(alphas, k_folds + 1) * scale_rep
     ratio = (1.0 - l1_ratio) / l1_ratio
-    a2_grid = jnp.asarray(alpha2, dtype) + a1_grid * jnp.asarray(ratio, dtype)
+    a2_grid = (
+        jnp.asarray(alpha2, dtype) * scale_rep
+        + a1_grid * jnp.asarray(ratio, dtype)
+    )
     gb = GramBatch(
         Q=jnp.repeat(Q_all, K, axis=0).transpose(1, 2, 0),  # (n, n, B)
         c=jnp.repeat(c_all, K, axis=0).T,  # (n, B)
@@ -127,9 +163,11 @@ def _cv_core(
     X = res.x.reshape(k_folds + 1, K, n)
     X_folds, X_full = X[:k_folds], X[k_folds]
 
-    # Validation: fold j's models predict fold j's held-out rows.
+    # Validation: fold j's models predict fold j's held-out rows. Sentinel
+    # rows contribute zero residual but must not enter the denominator.
     preds = jnp.einsum("kfi,kKi->kKf", A_folds, X_folds)
-    mse_path = jnp.mean((preds - b_folds[:, None, :]) ** 2, axis=-1)  # (k, K)
+    sq = (preds - b_folds[:, None, :]) ** 2 * valid[:, None, :].astype(dtype)
+    mse_path = jnp.sum(sq, axis=-1) / sizes.astype(dtype)[:, None]  # (k, K)
     mse_mean = jnp.mean(mse_path, axis=0)
     mse_se = jnp.std(mse_path, axis=0, ddof=1) / jnp.sqrt(
         jnp.asarray(k_folds, dtype)
@@ -159,6 +197,7 @@ def _cv_core(
         intercept=jnp.zeros((), dtype),
         rel_gap=res.rel_gap.reshape(k_folds + 1, K),
         converged_grid=res.converged.reshape(k_folds + 1, K),
+        iters=res.iters.reshape(k_folds + 1, K),
     )
 
 

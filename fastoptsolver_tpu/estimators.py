@@ -174,19 +174,29 @@ class MultiTaskLasso:
 
 
 class ElasticNetCV(_BaseRegressor):
-    """K-fold cross-validated elastic-net at fixed ``l1_ratio``
+    """K-fold cross-validated elastic-net
     (sklearn.linear_model.ElasticNetCV semantics): the α ladder carries both
-    penalties (α₁ = m·α·l1_ratio, α₂ = m·α·(1−l1_ratio)) and the whole
-    (folds × ladder) grid plus the refit path solves as ONE device call.
-    After ``fit``: ``alpha_``, ``alphas_``, ``mse_path_`` ((n_alphas, cv)),
-    ``coef_``, ``intercept_``, ``coef_path_``."""
+    penalties (α₁ = m·α·l1_ratio, α₂ = m·α·(1−l1_ratio)) and, per l1_ratio,
+    the whole (folds × ladder) grid plus the refit path solves as ONE device
+    call. ``l1_ratio`` may be a float or a list — with a list the best
+    (l1_ratio, α) pair is chosen by mean validation MSE, sklearn-style.
+    After ``fit``: ``alpha_``, ``l1_ratio_``, ``alphas_``, ``mse_path_``
+    ((n_alphas, cv), or (n_l1_ratio, n_alphas, cv) for a ratio list),
+    ``coef_``, ``intercept_``, ``coef_path_``, ``n_iter_``."""
 
     def __init__(self, l1_ratio=0.5, alphas=None, n_alphas=100, eps=1e-3,
                  cv=5, fit_intercept=True, max_iter=2000, one_se_rule=False,
                  shuffle_seed=0, dtype=jnp.float32):
-        super().__init__(alpha=1.0, l1_ratio=l1_ratio,
+        ratios = (
+            [float(r) for r in l1_ratio]
+            if isinstance(l1_ratio, (list, tuple, np.ndarray))
+            else [float(l1_ratio)]
+        )
+        super().__init__(alpha=1.0, l1_ratio=ratios[0],
                          fit_intercept=fit_intercept, max_iter=max_iter,
                          dtype=dtype)
+        self._l1_ratios = ratios
+        self._ratio_is_list = isinstance(l1_ratio, (list, tuple, np.ndarray))
         self.alphas = alphas
         self.n_alphas = int(n_alphas)
         self.eps = float(eps)
@@ -194,19 +204,12 @@ class ElasticNetCV(_BaseRegressor):
         self.one_se_rule = bool(one_se_rule)
         self.shuffle_seed = shuffle_seed
 
-    def fit(self, X, y):
-        X = np.asarray(X, np.float64)
-        y = np.asarray(y, np.float64)
+    def _fit_one_ratio(self, X, y, l1_ratio, key):
         m = X.shape[0]
-        scale = m * self.l1_ratio  # sklearn per-sample α → internal α₁
+        scale = m * l1_ratio  # sklearn per-sample α → internal α₁
         alphas = self.alphas
         if alphas is not None:
             alphas = np.asarray(alphas, np.float64) * scale
-        key = (
-            jax.random.PRNGKey(self.shuffle_seed)
-            if self.shuffle_seed is not None
-            else None
-        )
         res = cv_lasso(
             X, y,
             k_folds=self.cv,
@@ -219,15 +222,42 @@ class ElasticNetCV(_BaseRegressor):
             one_se_rule=self.one_se_rule,
             fit_intercept=self.fit_intercept,
             dtype=self.dtype,
-            l1_ratio=self.l1_ratio,
+            l1_ratio=l1_ratio,
         )
-        self.alphas_ = np.asarray(res.alphas, np.float64) / scale
+        return res, scale
+
+    def fit(self, X, y):
+        X = np.asarray(X, np.float64)
+        y = np.asarray(y, np.float64)
+        key = (
+            jax.random.PRNGKey(self.shuffle_seed)
+            if self.shuffle_seed is not None
+            else None
+        )
+        runs = [self._fit_one_ratio(X, y, r, key) for r in self._l1_ratios]
+        # Best (l1_ratio, α) pair by mean validation MSE across folds.
+        best_r = int(np.argmin(
+            [float(res.mse_mean[res.best_idx]) for res, _ in runs]
+        ))
+        res, scale = runs[best_r]
+        self.l1_ratio_ = self._l1_ratios[best_r]
+        self.l1_ratio = self.l1_ratio_  # refit semantics for _BaseRegressor
+        if self._ratio_is_list:
+            self.alphas_ = np.stack(
+                [np.asarray(r.alphas, np.float64) / s for r, s in runs]
+            )
+            self.mse_path_ = np.stack(
+                [np.asarray(r.mse_path, np.float64).T for r, _ in runs]
+            )
+        else:
+            self.alphas_ = np.asarray(res.alphas, np.float64) / scale
+            self.mse_path_ = np.asarray(res.mse_path, np.float64).T
         self.alpha_ = float(res.best_alpha) / scale
-        self.mse_path_ = np.asarray(res.mse_path, np.float64).T
         self.coef_ = np.asarray(res.coef, np.float64)
         self.coef_path_ = np.asarray(res.coef_path, np.float64)
         self.intercept_ = float(res.intercept)
         self.converged_ = bool(res.converged)
+        self.n_iter_ = int(res.iters[-1, int(res.best_idx)])  # refit instance
         return self
 
 
@@ -283,4 +313,5 @@ class LassoCV(_BaseRegressor):
         self.coef_path_ = np.asarray(res.coef_path, np.float64)
         self.intercept_ = float(res.intercept)
         self.converged_ = bool(res.converged)
+        self.n_iter_ = int(res.iters[-1, int(res.best_idx)])
         return self

@@ -4,6 +4,7 @@ from .cd import CDConfig, cd, certified_optimum
 from .lbfgs import LBFGSConfig, lbfgs, lbfgs_with_history
 from .owlqn import OWLQNConfig, owlqn, owlqn_with_history
 from .svrg import SVRGConfig, prox_svrg
+from .saga import SAGAConfig, prox_saga
 from .genlasso import (
     GenLassoConfig,
     GenLassoResult,
@@ -38,6 +39,8 @@ __all__ = [
     "owlqn_with_history",
     "SVRGConfig",
     "prox_svrg",
+    "SAGAConfig",
+    "prox_saga",
     "GenLassoConfig",
     "GenLassoResult",
     "gen_lasso",

@@ -80,12 +80,18 @@ class GenLassoResult(NamedTuple):
     s_norm: Array
     converged: Array
 
-    def objective(self, A, b, D, alpha1, alpha2=0.0):
+    def objective(self, A, b, D, alpha1, alpha2=0.0, weights=None):
+        """``½‖Ax−b‖² + ½α₂‖x‖² + α₁·Σᵢ wᵢ|(Dx)ᵢ|``. Pass the same
+        ``weights`` used in the solve (e.g. :func:`fused_lasso` folds its two
+        penalties into per-row weights with ``alpha1=1.0``) or the reported
+        penalty term is wrong."""
         r = A @ self.x - b
+        Dx = D @ self.x
+        pen = jnp.abs(Dx) if weights is None else weights * jnp.abs(Dx)
         return (
             0.5 * r @ r
             + 0.5 * alpha2 * self.x @ self.x
-            + alpha1 * jnp.sum(jnp.abs(D @ self.x))
+            + alpha1 * jnp.sum(pen)
         )
 
 
@@ -143,6 +149,12 @@ def _gen_lasso_jit(A, b, D, alpha1, alpha2, w, config: GenLassoConfig):
     c = A.T @ b
     M = Q + rho * (D.T @ D)
     lam, V = jnp.linalg.eigh(M)  # once; iterations are matmuls only
+    # M is singular when α₂=0 and null(AᵀA) ∩ null(DᵀD) ≠ {0} (e.g. a
+    # rank-deficient A with a difference D that also annihilates the same
+    # direction). Floor the spectrum so solve_M stays finite — the floored
+    # components act as a tiny ridge on the unobservable subspace instead of
+    # silently producing Inf/NaN iterates.
+    lam = jnp.maximum(lam, jnp.asarray(1e-7, dtype) * jnp.maximum(lam[-1], 1.0))
     thresh = alpha1 * w / rho
 
     sqrt_p = jnp.sqrt(jnp.asarray(p, dtype))

@@ -23,7 +23,9 @@ def _data(rng, m=150, n=10, snr=5.0):
 
 def test_cv_fold_solutions_match_direct_solves(rng):
     """Fold-train coefficients from the Gram-subtraction batch must match an
-    independent f64 CD solve on the explicitly-assembled training rows."""
+    independent f64 CD solve on the explicitly-assembled training rows, at
+    the per-fold-scaled penalty ((m − |fold|)/m · α₁ — sklearn's per-sample
+    objective semantics)."""
     A, b = _data(rng)
     k = 5
     res = cv_lasso(A, b, k_folds=k, n_alphas=8, cfg=CFG)
@@ -31,9 +33,9 @@ def test_cv_fold_solutions_match_direct_solves(rng):
     f = m // k
     for j in [0, 2, 4]:
         mask = np.ones(m, bool)
-        mask[j * f : (j + 1) * f] = False  # tail rows stay in training
+        mask[j * f : (j + 1) * f] = False
         for i in [0, 4, 7]:
-            a1 = float(res.alphas[i])
+            a1 = float(res.alphas[i]) * (m - f) / m
             p = LeastSquares.create(A[mask], b[mask], "lasso", alpha1=a1, dtype=jnp.float64)
             x_ref, _ = certified_optimum(p.to_gram(), CDConfig(max_sweeps=50000, tol=1e-15))
             np.testing.assert_allclose(
@@ -96,20 +98,54 @@ def test_cv_one_se_rule_sparser(rng):
     assert nnz_1se <= nnz_min
 
 
-def test_cv_tail_rows_not_validated(rng):
-    """m not divisible by k: tail rows belong to every training set. The
-    fold-train solution must reflect m - f rows, not m - f - tail."""
-    A, b = _data(rng, m=153, n=8)  # 153 = 5*30 + 3
+def test_cv_ragged_folds_match_sklearn_kfold(rng):
+    """m not divisible by k: fold boundaries must match sklearn's KFold
+    (remainder rows spread one each over the first m % k folds), and the
+    fold-train solution must reflect the per-fold-scaled penalty."""
+    from sklearn.model_selection import KFold
+
+    A, b = _data(rng, m=153, n=8)  # 153 = 5*30 + 3 → sizes [31,31,31,30,30]
     k = 5
     res = cv_lasso(A, b, k_folds=k, n_alphas=6, cfg=CFG)
-    f = 153 // k
-    mask = np.ones(153, bool)
-    mask[0:f] = False  # fold 0 held out; tail rows 150..152 remain training
-    a1 = float(res.alphas[3])
-    p = LeastSquares.create(A[mask], b[mask], "lasso", alpha1=a1, dtype=jnp.float64)
-    x_ref, _ = certified_optimum(p.to_gram(), CDConfig(max_sweeps=50000, tol=1e-15))
-    np.testing.assert_allclose(np.asarray(res.coef_folds[0, 3]), np.asarray(x_ref), atol=2e-4)
+    m = A.shape[0]
+    splits = list(KFold(n_splits=k, shuffle=False).split(A))
+    for j in [0, 4]:  # a size-31 fold and a size-30 fold
+        train_idx, val_idx = splits[j]
+        a1 = float(res.alphas[3]) * len(train_idx) / m
+        p = LeastSquares.create(
+            A[train_idx], b[train_idx], "lasso", alpha1=a1, dtype=jnp.float64
+        )
+        x_ref, _ = certified_optimum(p.to_gram(), CDConfig(max_sweeps=50000, tol=1e-15))
+        np.testing.assert_allclose(
+            np.asarray(res.coef_folds[j, 3]), np.asarray(x_ref), atol=2e-4
+        )
+        # validation MSE over exactly sklearn's held-out rows
+        mse_ref = float(np.mean((A[val_idx] @ np.asarray(x_ref) - b[val_idx]) ** 2))
+        np.testing.assert_allclose(float(res.mse_path[j, 3]), mse_ref, rtol=1e-3)
     assert res.mse_path.shape == (k, 6)
+
+
+def test_cv_ragged_mse_path_matches_sklearn_lassocv(rng):
+    """Property check vs sklearn.LassoCV over (m, k) with m % k != 0: the
+    whole mse_path_ grid must agree at sklearn tolerance."""
+    from sklearn.linear_model import LassoCV as SkLassoCV
+
+    from fastoptsolver_tpu import LassoCV
+
+    for m, k in [(97, 4), (122, 5)]:
+        A, b = _data(rng, m=m, n=6)
+        b = b - b.mean()
+        alphas = np.geomspace(0.5, 1e-3, 5)
+        ours = LassoCV(
+            alphas=alphas, cv=k, fit_intercept=False, shuffle_seed=None,
+            max_iter=5000, dtype=jnp.float64,
+        ).fit(A, b)
+        sk = SkLassoCV(
+            alphas=alphas, cv=k, fit_intercept=False, max_iter=100000, tol=1e-12
+        ).fit(A, b)
+        np.testing.assert_allclose(ours.mse_path_, sk.mse_path_, rtol=1e-5)
+        np.testing.assert_allclose(ours.alpha_, sk.alpha_, rtol=1e-12)
+        np.testing.assert_allclose(ours.coef_, sk.coef_, atol=1e-6)
 
 
 def test_cv_shuffle_reproducible(rng):

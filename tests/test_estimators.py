@@ -126,6 +126,33 @@ def test_elasticnet_cv_intercept_close_to_sklearn(rng):
     np.testing.assert_allclose(ours.intercept_, sk.intercept_, atol=1e-6)
 
 
+def test_elasticnet_cv_l1_ratio_list_matches_sklearn(rng):
+    """sklearn allows l1_ratio as a list, selecting the best (ratio, α) pair
+    by mean validation MSE; mse_path_ gains a leading ratio axis."""
+    from sklearn.linear_model import ElasticNetCV as SkElasticNetCV
+
+    from fastoptsolver_tpu import ElasticNetCV
+
+    X, y = _data(rng, m=120, n=8)
+    y = y - y.mean()
+    alphas = np.geomspace(1.0, 1e-3, 5)
+    ratios = [0.3, 0.7, 1.0]
+    ours = ElasticNetCV(
+        l1_ratio=ratios, alphas=alphas, cv=4, fit_intercept=False,
+        shuffle_seed=None, max_iter=5000, dtype=jnp.float64,
+    ).fit(X, y)
+    sk = SkElasticNetCV(
+        l1_ratio=ratios, alphas=alphas, cv=4, fit_intercept=False,
+        max_iter=100000, tol=1e-12,
+    ).fit(X, y)
+    assert ours.mse_path_.shape == (3, 5, 4)
+    np.testing.assert_allclose(ours.mse_path_, sk.mse_path_, rtol=1e-5)
+    assert ours.l1_ratio_ == sk.l1_ratio_
+    np.testing.assert_allclose(ours.alpha_, sk.alpha_, rtol=1e-12)
+    np.testing.assert_allclose(ours.coef_, sk.coef_, atol=1e-6)
+    assert ours.n_iter_ >= 1
+
+
 def test_lasso_cv_is_elasticnet_cv_at_ratio_one(rng):
     from fastoptsolver_tpu import ElasticNetCV, LassoCV
 
