@@ -30,9 +30,10 @@ measured; this design took the certified 16k-instance solve from 105 ms to
 single-digit ms).
 
 Reference parity: computes exactly the fixed-step FISTA recurrence of
-``/root/reference/iterative_solvers.py:170-221`` (without backtracking or
-restart — those paths run on the XLA driver), verified against the NumPy
-oracle and the XLA path in tests/test_kernels.py.
+``/root/reference/iterative_solvers.py:170-221``, including the adaptive
+restart of ``:209-217`` (per-lane t/prev-step rows, β computed in-register;
+backtracking runs on the XLA driver), verified against the NumPy oracle and
+the XLA path in tests/test_kernels.py.
 """
 from __future__ import annotations
 
@@ -58,8 +59,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
-                       a1_ref, btb_ref, X_ref, Y_ref, Xo_ref, Yo_ref, gap_ref,
-                       *, n_pad: int, n_steps: int, with_gap: bool):
+                       a1_ref, btb_ref, X_ref, Y_ref, t_ref, ps_ref,
+                       Xo_ref, Yo_ref, to_ref, pso_ref, gap_ref,
+                       *, n_pad: int, n_steps: int, with_gap: bool,
+                       restart_threshold: float | None):
     """Run ``n_steps`` FISTA iterations for one (n_pad, B_TILE) tile.
 
     ``beta_ref``: scalar-prefetched (max_iter,) momentum table; ``k0_ref``:
@@ -67,6 +70,13 @@ def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
     With ``with_gap`` the per-lane relative duality gap (ops/gap.py math) is
     computed in-kernel against the already-resident Q — the certification
     needs no separate pass over HBM.
+
+    ``restart_threshold`` is not None ⇒ adaptive restart
+    (iterative_solvers.py:209-217): the β table cannot be used because the
+    Nesterov sequence becomes per-lane data-dependent, so the kernel carries a
+    (1, BT) Nesterov scalar ``t_ref`` and previous step-norm ``ps_ref`` and
+    computes β on the fly, resetting ``t=1, Y=X`` on lanes whose step-norm
+    ratio exceeds the threshold (ratio = ∞ when the previous step was 0).
     """
     tau = tau_ref[:]  # (1, BT) — broadcasts over the feature sublanes
     thr = thr_ref[:]
@@ -82,17 +92,32 @@ def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
         return out
 
     def step(k, carry):
-        X, Y = carry
+        X, Y, t, ps = carry
         grad = matvec(Y) + a2 * Y - c
         V = Y - tau * grad
         Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - thr, 0.0)
-        beta = beta_ref[k0 + k]
+        if restart_threshold is None:
+            beta = beta_ref[k0 + k]
+            Yn = Xn + beta * (Xn - X)
+            return Xn, Yn, t, ps
+        # mirrors batch/fista_gram.py:_iterate_block's nesterov+restart branch
+        this = jnp.sqrt(jnp.sum((Xn - X) ** 2, axis=0, keepdims=True))
+        t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        beta = (t - 1.0) / t_next
         Yn = Xn + beta * (Xn - X)
-        return Xn, Yn
+        ratio = jnp.where(ps > 0.0, this / jnp.maximum(ps, 1e-30), jnp.inf)
+        restart = ratio > restart_threshold
+        t_next = jnp.where(restart, 1.0, t_next)
+        Yn = jnp.where(restart, Xn, Yn)
+        return Xn, Yn, t_next, this
 
-    X, Y = jax.lax.fori_loop(0, n_steps, step, (X_ref[:], Y_ref[:]))
+    X, Y, t, ps = jax.lax.fori_loop(
+        0, n_steps, step, (X_ref[:], Y_ref[:], t_ref[:], ps_ref[:])
+    )
     Xo_ref[:] = X
     Yo_ref[:] = Y
+    to_ref[:] = t
+    pso_ref[:] = ps
 
     if with_gap:
         # mirrors batch/fista_gram.py:_rel_gap, reductions over sublanes
@@ -138,16 +163,19 @@ def momentum_betas(k0: int, n_steps: int, t0: float, cfg: BatchFISTAConfig):
     return jnp.asarray(betas), t
 
 
-def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, *, n_pad, b_tile,
-           n_steps, interpret, with_gap=False):
+def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, t, ps, *, n_pad,
+           b_tile, n_steps, interpret, with_gap=False, restart_threshold=None):
     """One kernel launch advancing every tile by ``n_steps`` iterations.
 
-    Returns ``(X, Y, gap)`` — ``gap`` is the in-kernel per-lane relative
+    Returns ``(X, Y, t, ps, gap)`` — ``t``/``ps`` are the per-lane Nesterov
+    scalar and previous step-norm rows (meaningful under adaptive restart,
+    passed through otherwise); ``gap`` is the in-kernel per-lane relative
     duality gap when ``with_gap``, else zeros."""
     B = Q.shape[-1]
     grid = (B // b_tile,)
     kern = functools.partial(
-        _fista_tile_kernel, n_pad=n_pad, n_steps=n_steps, with_gap=with_gap
+        _fista_tile_kernel, n_pad=n_pad, n_steps=n_steps, with_gap=with_gap,
+        restart_threshold=restart_threshold,
     )
     vec = lambda r: pl.BlockSpec(
         (r, b_tile), lambda i, *prefetch: (0, i), memory_space=pltpu.VMEM
@@ -169,8 +197,10 @@ def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, *, n_pad, b_tile,
             vec(1),  # btb
             vec(n_pad),  # X
             vec(n_pad),  # Y
+            vec(1),  # t (Nesterov scalar per lane)
+            vec(1),  # ps (previous step norm per lane)
         ],
-        out_specs=[vec(n_pad), vec(n_pad), vec(1)],
+        out_specs=[vec(n_pad), vec(n_pad), vec(1), vec(1), vec(1)],
     )
     return pl.pallas_call(
         kern,
@@ -179,9 +209,11 @@ def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, *, n_pad, b_tile,
             jax.ShapeDtypeStruct((n_pad, B), Q.dtype),
             jax.ShapeDtypeStruct((n_pad, B), Q.dtype),
             jax.ShapeDtypeStruct((1, B), Q.dtype),
+            jax.ShapeDtypeStruct((1, B), Q.dtype),
+            jax.ShapeDtypeStruct((1, B), Q.dtype),
         ],
         interpret=interpret,
-    )(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y)
+    )(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, t, ps)
 
 
 def _pad_batch(gb: GramBatch, b_tile: int) -> tuple[GramBatch, int]:
@@ -209,6 +241,8 @@ def _pad_batch(gb: GramBatch, b_tile: int) -> tuple[GramBatch, int]:
 class _VmemState(NamedTuple):
     X: Array
     Y: Array
+    t: Array  # (1, B) per-lane Nesterov scalar (restart path)
+    ps: Array  # (1, B) per-lane previous step norm (restart path)
     k: Array  # scalar iterations completed
     done: Array  # (B,)
     iters: Array  # (B,)
@@ -217,10 +251,12 @@ class _VmemState(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_pad", "b_tile", "chunk", "n_bursts", "tol", "interpret", "certify"),
+    static_argnames=("n_pad", "b_tile", "chunk", "n_bursts", "tol",
+                     "interpret", "certify", "restart_threshold"),
 )
 def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, *,
-                     n_pad, b_tile, chunk, n_bursts, tol, interpret, certify):
+                     n_pad, b_tile, chunk, n_bursts, tol, interpret, certify,
+                     restart_threshold=None):
     """The full certified solve as one device program (single host sync)."""
     B = Q.shape[-1]
     dtype = Q.dtype
@@ -228,15 +264,15 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, *,
     btbrow = btb[None, :].astype(dtype)
 
     def burst(state: _VmemState) -> _VmemState:
-        X, Y, gvec = _burst(
+        X, Y, t, ps, gvec = _burst(
             betas, state.k[None].astype(jnp.int32), Q, c, tau, thr, a2,
-            a1row, btbrow, state.X, state.Y,
+            a1row, btbrow, state.X, state.Y, state.t, state.ps,
             n_pad=n_pad, b_tile=b_tile, n_steps=chunk, interpret=interpret,
-            with_gap=certify,
+            with_gap=certify, restart_threshold=restart_threshold,
         )
         k = state.k + chunk
         if not certify:
-            return _VmemState(X, Y, k, state.done, state.iters, state.gap)
+            return _VmemState(X, Y, t, ps, k, state.done, state.iters, state.gap)
         g = gvec[0]  # in-kernel per-lane relative duality gap
         # quarantine non-finite lanes (failure detection) so the loop exits
         failed = ~jnp.all(jnp.isfinite(X), axis=0) | jnp.isnan(g)
@@ -245,6 +281,8 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, *,
         return _VmemState(
             X=X,
             Y=Y,
+            t=t,
+            ps=ps,
             k=k,
             done=state.done | newly,
             iters=jnp.where(newly, k, jnp.where(state.done, state.iters, k)),
@@ -254,6 +292,8 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, *,
     state = _VmemState(
         X=jnp.zeros((n_pad, B), dtype),
         Y=jnp.zeros((n_pad, B), dtype),
+        t=jnp.ones((1, B), dtype),
+        ps=jnp.zeros((1, B), dtype),
         k=jnp.zeros((), jnp.int32),
         done=jnp.zeros((B,), bool),
         iters=jnp.zeros((B,), jnp.int32),
@@ -297,11 +337,13 @@ def fista_gram_vmem(
     Unlike the XLA driver, converged lanes are not frozen — they keep
     iterating at zero extra cost; ``iters`` records the burst boundary at
     which each instance was first certified.
+
+    Adaptive restart (reference iterative_solvers.py:209-217) is supported
+    for nesterov momentum: the kernel carries per-lane (t, prev-step-norm)
+    rows and computes β in-register, restarting lanes independently.
     """
-    if cfg.adaptive_restart:
-        raise NotImplementedError(
-            "adaptive restart runs on the XLA driver (batch/fista_gram.py)"
-        )
+    if cfg.adaptive_restart and cfg.momentum != "nesterov":
+        raise ValueError("adaptive restart applies to nesterov momentum only")
     n, B_orig = gb.c.shape
     n_pad = _round_up(max(n, SUBLANE), SUBLANE)
     if b_tile is None:
@@ -321,6 +363,9 @@ def fista_gram_vmem(
         pn=n_pad - n, pB=B - B_orig, n_pad=n_pad, b_tile=b_tile, chunk=chunk,
         n_bursts=n_bursts, tol=cfg.rel_gap_tol, interpret=interpret,
         certify=certify, t_init_factor=cfg.t_init_factor,
+        restart_threshold=(
+            cfg.restart_threshold if cfg.adaptive_restart else None
+        ),
     )
 
 
@@ -328,12 +373,12 @@ def fista_gram_vmem(
     jax.jit,
     static_argnames=(
         "pn", "pB", "n_pad", "b_tile", "chunk", "n_bursts", "tol",
-        "interpret", "certify", "t_init_factor",
+        "interpret", "certify", "t_init_factor", "restart_threshold",
     ),
 )
 def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
                    b_tile, chunk, n_bursts, tol, interpret, certify,
-                   t_init_factor) -> BatchResult:
+                   t_init_factor, restart_threshold=None) -> BatchResult:
     n, B_orig = c.shape
     if pn or pB:
         Q = jnp.pad(Q, ((0, pn), (0, pn), (0, pB)))
@@ -351,6 +396,7 @@ def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
         betas, Q, c, btb, alpha1, alpha2, tau, thr, a2,
         n_pad=n_pad, b_tile=b_tile, chunk=chunk, n_bursts=n_bursts,
         tol=tol, interpret=interpret, certify=certify,
+        restart_threshold=restart_threshold,
     )
     sl = slice(0, B_orig)
     failed = ~jnp.all(jnp.isfinite(state.X[:, sl]), axis=0)
@@ -386,8 +432,9 @@ def fista_gram_vmem_sharded(
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if cfg.adaptive_restart:
-        raise NotImplementedError("adaptive restart runs on the XLA driver")
+    if cfg.adaptive_restart and cfg.momentum != "nesterov":
+        raise ValueError("adaptive restart applies to nesterov momentum only")
+    restart_threshold = cfg.restart_threshold if cfg.adaptive_restart else None
     n_dev = mesh.shape[axis]
     if b_tile is None:
         b_tile = auto_b_tile(_round_up(max(gb.c.shape[0], SUBLANE), SUBLANE))
@@ -411,11 +458,11 @@ def fista_gram_vmem_sharded(
         btbrow = btb[None, :].astype(Q.dtype)
 
         def burst(i, s):
-            X, Y, gvec = _burst(
+            X, Y, t, ps, gvec = _burst(
                 betas, s.k[None].astype(jnp.int32), Q, c, tau, thr, a2,
-                a1row, btbrow, s.X, s.Y,
+                a1row, btbrow, s.X, s.Y, s.t, s.ps,
                 n_pad=n_pad, b_tile=b_tile, n_steps=chunk, interpret=interpret,
-                with_gap=True,
+                with_gap=True, restart_threshold=restart_threshold,
             )
             k = s.k + chunk
             g = gvec[0]
@@ -423,7 +470,7 @@ def fista_gram_vmem_sharded(
             g = jnp.where(failed, jnp.inf, g)
             newly = (~s.done) & ((g <= cfg.rel_gap_tol) | failed)
             return _VmemState(
-                X=X, Y=Y, k=k,
+                X=X, Y=Y, t=t, ps=ps, k=k,
                 done=s.done | newly,
                 iters=jnp.where(newly, k, jnp.where(s.done, s.iters, k)),
                 gap=jnp.where(s.done, s.gap, g),
@@ -432,6 +479,8 @@ def fista_gram_vmem_sharded(
         init = _VmemState(
             X=jnp.zeros((n_pad, Bl), dtype),
             Y=jnp.zeros((n_pad, Bl), dtype),
+            t=jnp.ones((1, Bl), dtype),
+            ps=jnp.zeros((1, Bl), dtype),
             k=jnp.zeros((), jnp.int32),
             done=jnp.zeros((Bl,), bool),
             iters=jnp.zeros((Bl,), jnp.int32),
@@ -484,7 +533,8 @@ def fista_gram_vmem_sharded(
 def _fista_tile_kernel_adaptive(beta_ref, Q_ref, c_ref, tau_ref, thr_ref,
                                 a2_ref, a1_ref, btb_ref, Xo_ref, gap_ref,
                                 iters_ref, done_ref, *, n_pad: int, chunk: int,
-                                n_bursts: int, tol: float):
+                                n_bursts: int, tol: float,
+                                restart_threshold: float | None):
     """The ENTIRE certified solve for one (n_pad, B_TILE) tile in one kernel
     launch: a while loop alternates ``chunk``-iteration bursts with the
     in-kernel duality-gap check, exiting as soon as THIS TILE's lanes are all
@@ -526,24 +576,33 @@ def _fista_tile_kernel_adaptive(beta_ref, Q_ref, c_ref, tau_ref, thr_ref,
         gap = jnp.where(a1 > 0, l1_gap, smooth_gap)
         return gap / jnp.maximum(f, 1.0)
 
-    def fista_steps(k0, X, Y):
+    def fista_steps(k0, X, Y, t, ps):
         def step(i, carry):
-            X, Y = carry
+            X, Y, t, ps = carry
             grad = matvec(Y) + a2 * Y - c
             V = Y - tau * grad
             Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - thr, 0.0)
-            beta = beta_ref[k0 + i]
+            if restart_threshold is None:
+                beta = beta_ref[k0 + i]
+                return Xn, Xn + beta * (Xn - X), t, ps
+            this = jnp.sqrt(jnp.sum((Xn - X) ** 2, axis=0, keepdims=True))
+            t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            beta = (t - 1.0) / t_next
             Yn = Xn + beta * (Xn - X)
-            return Xn, Yn
-        return jax.lax.fori_loop(0, chunk, step, (X, Y))
+            ratio = jnp.where(ps > 0.0, this / jnp.maximum(ps, 1e-30), jnp.inf)
+            restart = ratio > restart_threshold
+            t_next = jnp.where(restart, 1.0, t_next)
+            Yn = jnp.where(restart, Xn, Yn)
+            return Xn, Yn, t_next, this
+        return jax.lax.fori_loop(0, chunk, step, (X, Y, t, ps))
 
     def cond(carry):
-        X, Y, k, done, iters, gap = carry
+        X, Y, t, ps, k, done, iters, gap = carry
         return (k < n_bursts * chunk) & ~jnp.all(done > 0.0)
 
     def body(carry):
-        X, Y, k, done, iters, gap = carry
-        X, Y = fista_steps(k, X, Y)
+        X, Y, t, ps, k, done, iters, gap = carry
+        X, Y, t, ps = fista_steps(k, X, Y, t, ps)
         k = k + chunk
         g = rel_gap(X)
         finite = jnp.all(jnp.isfinite(X), axis=0, keepdims=True)
@@ -552,15 +611,15 @@ def _fista_tile_kernel_adaptive(beta_ref, Q_ref, c_ref, tau_ref, thr_ref,
         done = jnp.where(newly, 1.0, done)
         iters = jnp.where(done == 0.0, jnp.float32(k), jnp.where(newly, jnp.float32(k), iters))
         gap = jnp.where(newly | (done == 0.0), g, gap)
-        return X, Y, k, done, iters, gap
+        return X, Y, t, ps, k, done, iters, gap
 
     zero = jnp.zeros_like(c)
     onerow = jnp.zeros_like(tau)
-    X, Y, k, done, iters, gap = jax.lax.while_loop(
+    X, Y, t, ps, k, done, iters, gap = jax.lax.while_loop(
         cond,
         body,
-        (zero, zero, jnp.zeros((), jnp.int32), onerow,
-         onerow, jnp.full_like(tau, jnp.inf)),
+        (zero, zero, jnp.ones_like(tau), onerow, jnp.zeros((), jnp.int32),
+         onerow, onerow, jnp.full_like(tau, jnp.inf)),
     )
     Xo_ref[:] = X
     gap_ref[:] = gap
@@ -571,11 +630,11 @@ def _fista_tile_kernel_adaptive(beta_ref, Q_ref, c_ref, tau_ref, thr_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("pn", "pB", "n_pad", "b_tile", "chunk", "n_bursts",
-                     "tol", "interpret"),
+                     "tol", "interpret", "restart_threshold"),
 )
 def _solve_adaptive(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
                     b_tile, chunk, n_bursts, tol, interpret,
-                    t_init_factor) -> BatchResult:
+                    t_init_factor, restart_threshold=None) -> BatchResult:
     n, B_orig = c.shape
     if pn or pB:
         Q = jnp.pad(Q, ((0, pn), (0, pn), (0, pB)))
@@ -594,7 +653,7 @@ def _solve_adaptive(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
 
     kern = functools.partial(
         _fista_tile_kernel_adaptive, n_pad=n_pad, chunk=chunk,
-        n_bursts=n_bursts, tol=tol,
+        n_bursts=n_bursts, tol=tol, restart_threshold=restart_threshold,
     )
     vec = lambda r: pl.BlockSpec(
         (r, b_tile), lambda i, *prefetch: (0, i), memory_space=pltpu.VMEM
@@ -642,9 +701,10 @@ def fista_gram_vmem_adaptive(
     """Per-tile adaptive variant of :func:`fista_gram_vmem`: the certification
     while-loop lives INSIDE the kernel, so each lane tile exits at its own
     convergence point instead of the batch's global max. Fresh solves only
-    (no resume state); ``check_every`` must be > 0."""
-    if cfg.adaptive_restart:
-        raise NotImplementedError("adaptive restart runs on the XLA driver")
+    (no resume state); ``check_every`` must be > 0. Adaptive restart
+    (nesterov momentum) runs fully in-kernel as in :func:`fista_gram_vmem`."""
+    if cfg.adaptive_restart and cfg.momentum != "nesterov":
+        raise ValueError("adaptive restart applies to nesterov momentum only")
     if cfg.check_every <= 0:
         raise ValueError("adaptive kernel needs check_every > 0")
     n, B_orig = gb.c.shape
@@ -661,4 +721,7 @@ def fista_gram_vmem_adaptive(
         pn=n_pad - n, pB=B - B_orig, n_pad=n_pad, b_tile=b_tile, chunk=chunk,
         n_bursts=n_bursts, tol=cfg.rel_gap_tol, interpret=interpret,
         t_init_factor=cfg.t_init_factor,
+        restart_threshold=(
+            cfg.restart_threshold if cfg.adaptive_restart else None
+        ),
     )
