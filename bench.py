@@ -113,6 +113,17 @@ def main():
     dt = min(totals) / reps
 
     value = n_conv / dt
+
+    # HBM-traffic roofline (BASELINE.md "memory-bandwidth-bound" row): the
+    # pipeline reads A and b exactly once (fused Gram-build kernel), then the
+    # solve kernel streams Q + state per certification burst. n=5 pads to
+    # n_pad=8 sublanes.
+    PEAK_HBM_GBPS = 819.0  # TPU v5e (v5 lite) HBM2 peak
+    n, n_pad = 5, 8
+    bursts = max(1, int(res.n_iters_total) // 25)  # check_every=25
+    bytes_build = (n * m + m) * batch * 4
+    bytes_solve = bursts * (n_pad * n_pad + 6 * n_pad + 8) * batch * 4
+    gbps = (bytes_build + bytes_solve) / dt / 1e9
     print(
         json.dumps(
             {
@@ -127,6 +138,8 @@ def main():
                     "lockstep_iters": int(res.n_iters_total),
                     "median_iters": int(np.median(np.asarray(res.iters))),
                     "solve_s": round(dt, 4),
+                    "achieved_hbm_gbps": round(gbps, 1),
+                    "roofline_pct": round(100.0 * gbps / PEAK_HBM_GBPS, 1),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -108,9 +108,14 @@ def make_gram_batch(
         A = A.astype(dtype)
         b = b.astype(dtype)
     B = A.shape[0]
-    Q = jnp.einsum("bmi,bmj->ijb", A, A)
-    c = jnp.einsum("bmi,bm->ib", A, b)
-    btb = jnp.einsum("bm,bm->b", b, b)
+    # HIGHEST precision: on TPU the default MXU matmul truncates operands to
+    # bf16 (~2e-3 relative error on Gram entries — measured vs the f32 fused
+    # kernel by bench/verify_tpu.py). The Gram is built once and then defines
+    # the problem every iteration certifies against, so it must be true f32.
+    hi = jax.lax.Precision.HIGHEST
+    Q = jnp.einsum("bmi,bmj->ijb", A, A, precision=hi)
+    c = jnp.einsum("bmi,bm->ib", A, b, precision=hi)
+    btb = jnp.einsum("bm,bm->b", b, b, precision=hi)
     a1 = jnp.broadcast_to(jnp.asarray(alpha1, A.dtype), (B,))
     a2 = jnp.broadcast_to(jnp.asarray(alpha2, A.dtype), (B,))
     if key is None:

@@ -1,0 +1,173 @@
+"""On-TPU Pallas kernel verification: Mosaic-compiled kernels vs the XLA path.
+
+tests/test_kernels.py necessarily runs the kernels in interpreter mode (CI is
+CPU-only); this script closes the loop on REAL hardware with
+``interpret=False``, asserting the Mosaic-compiled kernels agree with the
+pure-XLA batched driver (batch/fista_gram.py) at small shapes:
+
+  1. fixed-iteration solve trajectory (nesterov momentum)
+  2. FISTA-Δ momentum trajectory
+  3. in-kernel adaptive restart trajectory (reference
+     iterative_solvers.py:209-217 semantics)
+  4. certified burst loop — convergence flags, gaps, per-instance iters
+  5. per-tile adaptive kernel — same certification cadence as the driver
+  6. fused Gram-build kernel vs the XLA einsum precompute
+
+Prints exactly one JSON line; run each round and record in RESULTS.md.
+
+Usage (real chip, from the repo root — no PYTHONPATH, per CLAUDE.md):
+  python -m fastoptsolver_tpu.bench.verify_tpu
+"""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _scenario_batch(n_inst: int, m: int):
+    from ..problems import generate_boston_like
+
+    As, bs = [], []
+    for s in range(n_inst):
+        A, b, _ = generate_boston_like(m=m, seed=s, noise_std=1.0, rho1=0.5, rho2=0.7)
+        A = (A - A.mean(0)) / A.std(0)
+        As.append(A)
+        bs.append(b)
+    return (
+        jnp.asarray(np.stack(As), jnp.float32),
+        jnp.asarray(np.stack(bs), jnp.float32),
+    )
+
+
+def run() -> dict:
+    from ..batch import make_gram_batch
+    from ..batch.fista_gram import BatchFISTAConfig, fista_gram_batch
+    from ..kernels import (
+        fista_gram_vmem,
+        fista_gram_vmem_adaptive,
+        make_gram_batch_fused,
+    )
+
+    checks: dict[str, bool] = {}
+
+    def check(name: str, fn):
+        try:
+            fn()
+            checks[name] = True
+        except AssertionError as e:  # record, keep going — report all failures
+            checks[name] = False
+            print(f"# FAIL {name}: {e}")
+
+    A3, b2 = _scenario_batch(n_inst=8, m=200)
+    gb = make_gram_batch(A3, b2, alpha1=0.5, alpha2=0.0)
+
+    # 1. fixed-iteration trajectory parity (Mosaic vs XLA)
+    cfg_fixed = BatchFISTAConfig(max_iter=60, check_every=0)
+    ref = fista_gram_batch(gb, cfg_fixed)
+    got = fista_gram_vmem(gb, cfg_fixed, b_tile=128, interpret=False)
+    check(
+        "fixed_iters",
+        lambda: np.testing.assert_allclose(
+            np.asarray(got.x), np.asarray(ref.x), rtol=2e-4, atol=2e-5
+        ),
+    )
+
+    # 2. FISTA-Δ momentum
+    cfg_d = BatchFISTAConfig(max_iter=50, check_every=0, momentum="delta", delta=3.0)
+    ref_d = fista_gram_batch(gb, cfg_d)
+    got_d = fista_gram_vmem(gb, cfg_d, b_tile=128, interpret=False)
+    check(
+        "delta_momentum",
+        lambda: np.testing.assert_allclose(
+            np.asarray(got_d.x), np.asarray(ref_d.x), rtol=2e-4, atol=2e-5
+        ),
+    )
+
+    # 3. adaptive restart trajectory (per-lane t/ps rows in-kernel)
+    cfg_r = BatchFISTAConfig(max_iter=60, check_every=0, adaptive_restart=True)
+    ref_r = fista_gram_batch(gb, cfg_r)
+    got_r = fista_gram_vmem(gb, cfg_r, b_tile=128, interpret=False)
+    check(
+        "adaptive_restart",
+        lambda: np.testing.assert_allclose(
+            np.asarray(got_r.x), np.asarray(ref_r.x), rtol=2e-4, atol=2e-5
+        ),
+    )
+
+    # 4. certified burst loop
+    a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("bmi,bm->bi", A3, b2)), axis=1)
+    gbc = make_gram_batch(A3, b2, alpha1=a1, alpha2=0.0)
+    cfg_c = BatchFISTAConfig(max_iter=800, check_every=25, rel_gap_tol=1e-6)
+    res_c = fista_gram_vmem(gbc, cfg_c, b_tile=128, interpret=False)
+
+    def _cert():
+        assert bool(np.asarray(res_c.converged).all()), "not all certified"
+        assert np.all(np.asarray(res_c.rel_gap) <= 1e-6), "gap above tol"
+        assert np.all(np.asarray(res_c.iters) % 25 == 0), "iters off cadence"
+
+    check("certified_bursts", _cert)
+
+    # 5. per-tile adaptive kernel: same cadence ⇒ identical iteration counts
+    res_a = fista_gram_vmem_adaptive(gbc, cfg_c, b_tile=128, interpret=False)
+
+    def _adaptive():
+        assert bool(np.asarray(res_a.converged).all()), "adaptive not certified"
+        np.testing.assert_array_equal(
+            np.asarray(res_a.iters), np.asarray(res_c.iters)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_a.x), np.asarray(res_c.x), rtol=2e-4, atol=2e-5
+        )
+
+    check("adaptive_kernel", _adaptive)
+
+    # 6. fused Gram-build kernel vs XLA precompute
+    rng = np.random.default_rng(0)
+    n, m, B = 5, 120, 384
+    Afm = jnp.asarray(rng.normal(size=(n, m, B)), jnp.float32)
+    bfm = jnp.asarray(rng.normal(size=(m, B)), jnp.float32)
+    gb_f = make_gram_batch_fused(Afm, bfm, alpha1=0.5, alpha2=0.1, interpret=False)
+    gb_x = make_gram_batch(
+        jnp.transpose(Afm, (2, 1, 0)), jnp.transpose(bfm, (1, 0)),
+        alpha1=0.5, alpha2=0.1,
+    )
+
+    # float64 NumPy ground truth — the arbiter if kernel and XLA disagree
+    # (this is how the round-2 bf16-default-precision bug in the XLA einsum
+    # was adjudicated: the kernel was right, make_gram_batch was fixed)
+    A64 = np.asarray(Afm, np.float64)
+    Q64 = np.einsum("imb,jmb->ijb", A64, A64)
+    c64 = np.einsum("imb,mb->ib", A64, np.asarray(bfm, np.float64))
+
+    def _build():
+        np.testing.assert_allclose(np.asarray(gb_f.Q), Q64, rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gb_x.Q), Q64, rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gb_f.c), c64, rtol=2e-4, atol=1e-4)
+        ratio = np.asarray(gb_f.L) / np.asarray(gb_x.L)
+        assert np.all(ratio > 0.9) and np.all(ratio < 1.1), "L estimate drifted"
+
+    check("fused_gram_build", _build)
+
+    return {
+        "metric": "tpu_kernel_verification_mosaic_vs_xla",
+        "value": sum(checks.values()),
+        "unit": f"checks_passed_of_{len(checks)}",
+        "ok": all(checks.values()),
+        "detail": {**checks, "device": str(jax.devices()[0])},
+    }
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fos_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    out = run()
+    print(json.dumps(out))
+    raise SystemExit(0 if out["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,9 +59,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
-                       a1_ref, btb_ref, X_ref, Y_ref, t_ref, ps_ref,
-                       Xo_ref, Yo_ref, to_ref, pso_ref, gap_ref,
-                       *, n_pad: int, n_steps: int, with_gap: bool,
+                       a1_ref, btb_ref, X_ref, Y_ref, *rest,
+                       n_pad: int, n_steps: int, with_gap: bool,
                        restart_threshold: float | None):
     """Run ``n_steps`` FISTA iterations for one (n_pad, B_TILE) tile.
 
@@ -77,7 +76,15 @@ def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
     (1, BT) Nesterov scalar ``t_ref`` and previous step-norm ``ps_ref`` and
     computes β on the fly, resetting ``t=1, Y=X`` on lanes whose step-norm
     ratio exceeds the threshold (ratio = ∞ when the previous step was 0).
+    Those two state rows (and their outputs) exist ONLY on the restart path —
+    the fixed-momentum fast path keeps its lean ref list (no extra DMAs).
+    ``rest`` is (t_ref, ps_ref, Xo, Yo, to, pso, gap) with restart, else
+    (Xo, Yo, gap).
     """
+    if restart_threshold is None:
+        Xo_ref, Yo_ref, gap_ref = rest
+    else:
+        t_ref, ps_ref, Xo_ref, Yo_ref, to_ref, pso_ref, gap_ref = rest
     tau = tau_ref[:]  # (1, BT) — broadcasts over the feature sublanes
     thr = thr_ref[:]
     a2 = a2_ref[:]
@@ -91,33 +98,41 @@ def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
             out += Q[j] * V[j : j + 1, :]
         return out
 
-    def step(k, carry):
-        X, Y, t, ps = carry
-        grad = matvec(Y) + a2 * Y - c
-        V = Y - tau * grad
-        Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - thr, 0.0)
-        if restart_threshold is None:
+    if restart_threshold is None:
+        def step(k, carry):
+            X, Y = carry
+            grad = matvec(Y) + a2 * Y - c
+            V = Y - tau * grad
+            Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - thr, 0.0)
             beta = beta_ref[k0 + k]
             Yn = Xn + beta * (Xn - X)
-            return Xn, Yn, t, ps
-        # mirrors batch/fista_gram.py:_iterate_block's nesterov+restart branch
-        this = jnp.sqrt(jnp.sum((Xn - X) ** 2, axis=0, keepdims=True))
-        t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
-        beta = (t - 1.0) / t_next
-        Yn = Xn + beta * (Xn - X)
-        ratio = jnp.where(ps > 0.0, this / jnp.maximum(ps, 1e-30), jnp.inf)
-        restart = ratio > restart_threshold
-        t_next = jnp.where(restart, 1.0, t_next)
-        Yn = jnp.where(restart, Xn, Yn)
-        return Xn, Yn, t_next, this
+            return Xn, Yn
 
-    X, Y, t, ps = jax.lax.fori_loop(
-        0, n_steps, step, (X_ref[:], Y_ref[:], t_ref[:], ps_ref[:])
-    )
+        X, Y = jax.lax.fori_loop(0, n_steps, step, (X_ref[:], Y_ref[:]))
+    else:
+        def step(k, carry):
+            X, Y, t, ps = carry
+            grad = matvec(Y) + a2 * Y - c
+            V = Y - tau * grad
+            Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - thr, 0.0)
+            # mirrors batch/fista_gram.py:_iterate_block nesterov+restart
+            this = jnp.sqrt(jnp.sum((Xn - X) ** 2, axis=0, keepdims=True))
+            t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            beta = (t - 1.0) / t_next
+            Yn = Xn + beta * (Xn - X)
+            ratio = jnp.where(ps > 0.0, this / jnp.maximum(ps, 1e-30), jnp.inf)
+            restart = ratio > restart_threshold
+            t_next = jnp.where(restart, 1.0, t_next)
+            Yn = jnp.where(restart, Xn, Yn)
+            return Xn, Yn, t_next, this
+
+        X, Y, t, ps = jax.lax.fori_loop(
+            0, n_steps, step, (X_ref[:], Y_ref[:], t_ref[:], ps_ref[:])
+        )
+        to_ref[:] = t
+        pso_ref[:] = ps
     Xo_ref[:] = X
     Yo_ref[:] = Y
-    to_ref[:] = t
-    pso_ref[:] = ps
 
     if with_gap:
         # mirrors batch/fista_gram.py:_rel_gap, reductions over sublanes
@@ -173,6 +188,7 @@ def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, t, ps, *, n_pad,
     duality gap when ``with_gap``, else zeros."""
     B = Q.shape[-1]
     grid = (B // b_tile,)
+    restart = restart_threshold is not None
     kern = functools.partial(
         _fista_tile_kernel, n_pad=n_pad, n_steps=n_steps, with_gap=with_gap,
         restart_threshold=restart_threshold,
@@ -180,6 +196,7 @@ def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, t, ps, *, n_pad,
     vec = lambda r: pl.BlockSpec(
         (r, b_tile), lambda i, *prefetch: (0, i), memory_space=pltpu.VMEM
     )
+    state_vec = lambda n: jax.ShapeDtypeStruct((n, B), Q.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # (betas, k0)
         grid=grid,
@@ -197,23 +214,30 @@ def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, t, ps, *, n_pad,
             vec(1),  # btb
             vec(n_pad),  # X
             vec(n_pad),  # Y
-            vec(1),  # t (Nesterov scalar per lane)
-            vec(1),  # ps (previous step norm per lane)
+            # t (per-lane Nesterov scalar) + ps (prev step norm): restart only
+            *([vec(1), vec(1)] if restart else []),
         ],
-        out_specs=[vec(n_pad), vec(n_pad), vec(1), vec(1), vec(1)],
+        out_specs=[
+            vec(n_pad), vec(n_pad),
+            *([vec(1), vec(1)] if restart else []),
+            vec(1),
+        ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, B), Q.dtype),
-            jax.ShapeDtypeStruct((n_pad, B), Q.dtype),
-            jax.ShapeDtypeStruct((1, B), Q.dtype),
-            jax.ShapeDtypeStruct((1, B), Q.dtype),
-            jax.ShapeDtypeStruct((1, B), Q.dtype),
+            state_vec(n_pad), state_vec(n_pad),
+            *([state_vec(1), state_vec(1)] if restart else []),
+            state_vec(1),
         ],
         interpret=interpret,
-    )(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, t, ps)
+    )(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y,
+      *([t, ps] if restart else []))
+    if restart:
+        return out  # (X, Y, t, ps, gap)
+    Xo, Yo, gap = out
+    return Xo, Yo, t, ps, gap  # state rows passed through untouched
 
 
 def _pad_batch(gb: GramBatch, b_tile: int) -> tuple[GramBatch, int]:
