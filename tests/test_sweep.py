@@ -46,3 +46,62 @@ def test_build_scenarios_standardized():
     A, b = data[0]
     np.testing.assert_allclose(A.mean(0), 0.0, atol=1e-10)
     np.testing.assert_allclose(A.std(0), 1.0, rtol=1e-10)
+
+
+def _iters_to(curves, thr):
+    """First 1-based iteration index at which each scenario's suboptimality
+    reaches ``thr`` (inf if never)."""
+    hit = curves <= thr
+    return np.where(hit.any(axis=1), hit.argmax(axis=1) + 1, np.inf)
+
+
+def test_figure_envelopes_all_80_scenarios():
+    """Figure-level convergence parity with the reference across the FULL
+    80-scenario grid (BASELINE.md table, read off /root/reference/figures/):
+
+      - L-BFGS reaches ≤1e-7 suboptimality in 10-13 iterations
+      - FISTA / FISTA-Δ (fixed step) reach ≤1e-4 in ~20-70
+      - ISTA reaches ≤1e-4 in ~30-120
+
+    Measured on this implementation (f64, m=1000, standardized columns,
+    α₁=1.0/α₂=0.5 per bench/sweep.py's documented reconstruction): L-BFGS
+    max 13, FISTA fixed max 69, FISTA-Δ fixed max 58, ISTA max 120 —
+    inside the reference envelope at every scenario. The Armijo variants
+    inherit the reference's persistent never-growing τ (SURVEY §7 item 2),
+    which stalls ~30% of scenarios above 1e-4; those are pinned by reach
+    fraction + median instead of a max bound."""
+    grid, results = run_sweep(m=1000, max_iter=130, limit=None, dtype=jnp.float64)
+    assert len(grid) == 80
+    sub = suboptimality(results)
+
+    # L-BFGS (ridge panel): every scenario certified at 1e-7 by iteration 13
+    it = _iters_to(sub["lbfgs"]["ridge"], 1e-7)
+    assert np.isfinite(it).all()
+    assert it.max() <= 13 and np.median(it) >= 8
+
+    for reg in ("lasso", "enet"):
+        # fixed-step FISTA / FISTA-Δ: all 80 scenarios within the ref window
+        for solver, hi in (("fista", 70), ("fista_delta", 70)):
+            it = _iters_to(sub[solver][f"{reg}-fixed-t1.0"], 1e-4)
+            assert np.isfinite(it).all(), (solver, reg)
+            assert it.max() <= hi, (solver, reg, it.max())
+            assert 20 <= np.median(it) <= 70, (solver, reg, np.median(it))
+        # ISTA: slower, within ~30-120 everywhere
+        for variant in (f"{reg}-fixed-t1.0", f"{reg}-armijo-t1.0"):
+            it = _iters_to(sub["ista"][variant], 1e-4)
+            assert np.isfinite(it).all(), variant
+            assert it.max() <= 120, (variant, it.max())
+            assert 30 <= np.median(it) <= 120, (variant, np.median(it))
+        # Armijo FISTA variants: majority reach 1e-4, at FISTA-like speed
+        for solver in ("fista", "fista_delta"):
+            for tf in ("t1.0", "t2.0"):
+                it = _iters_to(sub[solver][f"{reg}-armijo-{tf}"], 1e-4)
+                reached = np.isfinite(it)
+                assert reached.mean() >= 0.6, (solver, reg, tf, reached.mean())
+                assert np.median(it[reached]) <= 70, (solver, reg, tf)
+
+    # ordering invariant visible in every reference figure: accelerated
+    # methods dominate ISTA (median iterations-to-1e-4, fixed step)
+    it_f = _iters_to(sub["fista"]["lasso-fixed-t1.0"], 1e-4)
+    it_i = _iters_to(sub["ista"]["lasso-fixed-t1.0"], 1e-4)
+    assert np.median(it_f) < np.median(it_i)
