@@ -14,6 +14,7 @@ from .extensions import (
     PoissonRegression,
     MultiTaskLeastSquares,
 )
+from .streaming import DenseGram, stream_gram, chunk_rows, generator_chunks
 from .generators import (
     generate_boston_like,
     generate_scenario,
@@ -43,6 +44,10 @@ __all__ = [
     "LeastSquares",
     "GramLeastSquares",
     "LogisticRegression",
+    "DenseGram",
+    "stream_gram",
+    "chunk_rows",
+    "generator_chunks",
     "generate_boston_like",
     "generate_scenario",
     "generate_scenario_batch",

@@ -14,6 +14,7 @@ from .genlasso import (
     trend_filter,
     difference_matrix,
 )
+from .gram_dense import DenseGramConfig, DenseResult, fista_gram_dense
 from .ista import ISTAConfig, ista, ista_with_history
 from .fista import (
     FISTAConfig,
@@ -25,6 +26,9 @@ from .fista import (
 )
 
 __all__ = [
+    "DenseGramConfig",
+    "DenseResult",
+    "fista_gram_dense",
     "ADMMConfig",
     "ADMMResult",
     "admm",
