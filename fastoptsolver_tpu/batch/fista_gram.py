@@ -135,6 +135,14 @@ class BatchFISTAConfig:
     delta: float = 3.0
     adaptive_restart: bool = False
     restart_threshold: float = 1.0
+    # Armijo backtracking, reference semantics (iterative_solvers.py:183-197:
+    # sufficient decrease with C=1e-2, shrink η=0.5, per-lane τ persists and
+    # never grows). Masked lockstep search: one Gram matvec per trial round,
+    # all lanes; lanes accept independently.
+    backtracking: bool = False
+    ls_eta: float = 0.5
+    armijo_c: float = 1e-2
+    max_backtracks: int = 20
     # "greedy" mode (Liang & Schönlieb 2018, arXiv:1811.01430 — PAPERS.md):
     # overshoot the step to ξ/L with unit momentum, restart on the gradient-
     # mapping angle test, and shrink τ back toward 1/L when steps grow.
@@ -149,6 +157,10 @@ class BatchFISTAConfig:
             raise ValueError(f"Unknown momentum '{self.momentum}'")
         if self.momentum == "greedy" and not 1.0 <= self.greedy_xi < 2.0:
             raise ValueError("greedy FISTA requires 1 <= greedy_xi < 2")
+        if self.backtracking and self.momentum == "greedy":
+            raise ValueError(
+                "backtracking and greedy momentum both control τ; pick one"
+            )
 
 
 class BatchState(NamedTuple):
@@ -202,10 +214,52 @@ def _iterate_block(gb: GramBatch, cfg: BatchFISTAConfig, state: BatchState,
     tau_min = (1.0 / gb.L).astype(gb.c.dtype)  # greedy shrink floor
 
     def one(_, s: BatchState) -> BatchState:
-        grad = jnp.einsum("ijb,jb->ib", gb.Q, s.Y) - gb.c + gb.alpha2 * s.Y
-        X_next = soft_threshold(s.Y - s.tau * grad, s.tau * gb.alpha1)
+        QY = jnp.einsum("ijb,jb->ib", gb.Q, s.Y)
+        grad = QY - gb.c + gb.alpha2 * s.Y
+        if cfg.backtracking:
+            # masked per-lane Armijo (reference iterative_solvers.py:183-197;
+            # mirrors solvers/common.py:armijo_prox_search): accept when
+            # g(x⁺) ≤ g(y) + C⟨∇g(y), x⁺−y⟩, shrink τ ← η·τ otherwise; a
+            # lane's accepted τ persists across iterations and never grows.
+            g_y = (
+                0.5 * jnp.sum(s.Y * QY, axis=0)
+                - jnp.sum(gb.c * s.Y, axis=0)
+                + 0.5 * gb.btb
+                + 0.5 * gb.alpha2 * jnp.sum(s.Y * s.Y, axis=0)
+            )
+
+            def trial(tau):
+                Xc = soft_threshold(s.Y - tau * grad, tau * gb.alpha1)
+                QX = jnp.einsum("ijb,jb->ib", gb.Q, Xc)
+                g_x = (
+                    0.5 * jnp.sum(Xc * QX, axis=0)
+                    - jnp.sum(gb.c * Xc, axis=0)
+                    + 0.5 * gb.btb
+                    + 0.5 * gb.alpha2 * jnp.sum(Xc * Xc, axis=0)
+                )
+                ok = g_x <= g_y + cfg.armijo_c * jnp.sum(grad * (Xc - s.Y), axis=0)
+                return Xc, ok
+
+            X0, ok0 = trial(s.tau)
+
+            def bt_cond(c):
+                tau, X, acc, k = c
+                return jnp.any(~acc) & (k < cfg.max_backtracks)
+
+            def bt_body(c):
+                tau, X, acc, k = c
+                tau_n = jnp.where(acc, tau, cfg.ls_eta * tau)
+                Xc, ok = trial(tau_n)
+                return tau_n, jnp.where(acc[None, :], X, Xc), acc | ok, k + 1
+
+            tau_bt, X_next, _, _ = jax.lax.while_loop(
+                bt_cond, bt_body, (s.tau, X0, ok0, jnp.zeros((), jnp.int32))
+            )
+        else:
+            tau_bt = s.tau
+            X_next = soft_threshold(s.Y - s.tau * grad, s.tau * gb.alpha1)
         this_step = jnp.sqrt(jnp.sum((X_next - s.X) ** 2, axis=0))
-        tau_next = s.tau
+        tau_next = tau_bt
         first_step = s.first_step
 
         if cfg.momentum == "delta":
