@@ -14,7 +14,7 @@ from .extensions import (
     PoissonRegression,
     MultiTaskLeastSquares,
 )
-from .streaming import DenseGram, stream_gram, chunk_rows, generator_chunks
+from .streaming import DenseGram, stream_gram, chunk_rows, generator_chunks, merge_grams
 from .generators import (
     generate_boston_like,
     generate_scenario,
@@ -48,6 +48,7 @@ __all__ = [
     "stream_gram",
     "chunk_rows",
     "generator_chunks",
+    "merge_grams",
     "generate_boston_like",
     "generate_scenario",
     "generate_scenario_batch",

@@ -120,3 +120,46 @@ def generator_chunks(
     anywhere — not in HBM, not in host RAM."""
     for i in range(n_chunks):
         yield make_chunk(i)
+
+
+def merge_grams(local: DenseGram, mesh, axis: str | tuple = "host") -> DenseGram:
+    """Row-distributed Gram reduction: each host/device streams ONLY ITS OWN
+    rows of A through :func:`stream_gram`, then the partial (Q, c, bᵀb) are
+    summed with one ``psum``-shaped collective — the complete multi-host
+    answer to the north star's 1e6×1e4 A: 40 GB of rows split across hosts,
+    each streamed once locally, merged by a single (n², n, 1)-sized
+    all-reduce over DCN. The merged Gram is replicated, so the subsequent
+    O(n²)/iter solve (solvers/gram_dense.py) runs identically everywhere
+    with zero further communication.
+
+    ``local`` holds this process's partial reduction. Works on a real
+    multi-host slice and on a single-process mesh alike: each participant's
+    partial is placed on the mesh and summed under jit (XLA lowers the sum of
+    per-host shards to the DCN collective).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    if jax.process_count() > 1:
+        # every process contributes its local partial; stack globally then sum
+        stacked_Q = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(axes)), np.asarray(local.Q)[None]
+        )
+        stacked_c = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(axes)), np.asarray(local.c)[None]
+        )
+        stacked_b = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(axes)), np.asarray(local.btb)[None]
+        )
+        stacked_m = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(axes)), np.asarray(local.m)[None]
+        )
+        red = jax.jit(
+            lambda q, c, b, m: (q.sum(0), c.sum(0), b.sum(0), m.sum(0)),
+            out_shardings=NamedSharding(mesh, P()),
+        )
+        Q, c, btb, m = red(stacked_Q, stacked_c, stacked_b, stacked_m)
+        return DenseGram(Q=Q, c=c, btb=btb, m=m)
+    # single process: nothing to merge across, just replicate
+    return local

@@ -99,6 +99,39 @@ def main(pid: int, nproc: int, port: int) -> None:
         got = x_all[other * B_local : (other + 1) * B_local, :]
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
+    # 4) Multi-host streaming Gram (north-star 1e6×1e4 story): each host
+    #    streams only ITS OWN rows; one psum-shaped all-reduce of the n²
+    #    partials over DCN yields the replicated Gram, and the dense
+    #    certified solve then runs with zero further communication.
+    from fastoptsolver_tpu.problems import chunk_rows, merge_grams, stream_gram
+    from fastoptsolver_tpu.solvers import DenseGramConfig, fista_gram_dense
+
+    ms, ns = 512, 10
+    grng = np.random.default_rng(7)
+    A_all = grng.normal(size=(nproc * ms, ns)).astype(np.float32)
+    xs = np.zeros(ns, np.float32)
+    xs[:3] = [2.0, -1.0, 0.5]
+    b_all = (A_all @ xs + 0.05 * grng.normal(size=nproc * ms)).astype(np.float32)
+    mine = slice(pid * ms, (pid + 1) * ms)  # this host's rows only
+    local = stream_gram(chunk_rows(A_all[mine], b_all[mine], rows=128), n=ns)
+    gram = merge_grams(local, mesh, axis=multihost.HOST_AXIS)
+    assert int(gram.m) == nproc * ms, int(gram.m)
+    a1s = 0.02 * float(np.max(np.abs(A_all.T @ b_all)))
+    dres = fista_gram_dense(
+        gram, a1s, 0.0,
+        DenseGramConfig(max_iter=2000, check_every=50, rel_gap_tol=1e-6),
+    )
+    assert bool(dres.converged), float(dres.rel_gap)
+    # oracle: single-host full-data Gram solve
+    g_ref = stream_gram(chunk_rows(A_all, b_all, rows=256), n=ns)
+    ref = fista_gram_dense(
+        g_ref, a1s, 0.0,
+        DenseGramConfig(max_iter=2000, check_every=50, rel_gap_tol=1e-6),
+    )
+    np.testing.assert_allclose(
+        np.asarray(dres.x), np.asarray(ref.x), rtol=1e-4, atol=1e-5
+    )
+
     print(f"MULTIHOST_OK pid={pid}", flush=True)
 
 
