@@ -30,7 +30,8 @@ class _BaseRegressor:
     """Shared fit/predict/score plumbing (NumPy in, NumPy out)."""
 
     def __init__(self, alpha=1.0, l1_ratio=1.0, fit_intercept=True,
-                 max_iter=2000, tol=0.0, method="fista", dtype=jnp.float32):
+                 max_iter=2000, tol=0.0, method="fista", dtype=jnp.float32,
+                 positive=False):
         self.alpha = float(alpha)
         self.l1_ratio = float(l1_ratio)
         self.fit_intercept = bool(fit_intercept)
@@ -38,6 +39,7 @@ class _BaseRegressor:
         self.tol = float(tol)
         self.method = method
         self.dtype = dtype
+        self.positive = bool(positive)
 
     def _reg(self, n_samples: int) -> tuple[str, float, float]:
         a1 = n_samples * self.alpha * self.l1_ratio
@@ -60,11 +62,23 @@ class _BaseRegressor:
             self._y_mean = 0.0
             Xc, yc = X, y
         reg, a1, a2 = self._reg(X.shape[0])
-        kwargs = dict(max_iter=self.max_iter)
-        if self.method in ("fista", "ista", "lbfgs", "owlqn"):
-            kwargs["tol"] = self.tol
-        res = solve(Xc, yc, reg, alpha1=a1, alpha2=a2, method=self.method,
-                    dtype=self.dtype, **kwargs)
+        if self.positive:
+            # sklearn's positive=True: coefficients constrained ≥ 0. The
+            # constraint is just another problem type — the positively-
+            # constrained elastic net runs on the unchanged FISTA.
+            from .problems import NonNegativeLeastSquares
+            from .solvers import FISTAConfig, fista
+
+            prob = NonNegativeLeastSquares.create(
+                Xc, yc, alpha1=a1, alpha2=a2, dtype=self.dtype
+            )
+            res = fista(prob, FISTAConfig(max_iter=self.max_iter, tol=self.tol))
+        else:
+            kwargs = dict(max_iter=self.max_iter)
+            if self.method in ("fista", "ista", "lbfgs", "owlqn"):
+                kwargs["tol"] = self.tol
+            res = solve(Xc, yc, reg, alpha1=a1, alpha2=a2, method=self.method,
+                        dtype=self.dtype, **kwargs)
         self.coef_ = np.asarray(res.x, np.float64)
         self.intercept_ = float(self._y_mean - self._x_mean @ self.coef_)
         self.n_iter_ = int(res.n_iters)
@@ -88,19 +102,22 @@ class Lasso(_BaseRegressor):
     hyperparameter semantics)."""
 
     def __init__(self, alpha=1.0, fit_intercept=True, max_iter=2000, tol=0.0,
-                 method="fista", dtype=jnp.float32):
+                 method="fista", dtype=jnp.float32, positive=False):
         super().__init__(alpha=alpha, l1_ratio=1.0, fit_intercept=fit_intercept,
-                         max_iter=max_iter, tol=tol, method=method, dtype=dtype)
+                         max_iter=max_iter, tol=tol, method=method, dtype=dtype,
+                         positive=positive)
 
 
 class ElasticNet(_BaseRegressor):
     """Elastic-net (sklearn alpha/l1_ratio semantics)."""
 
     def __init__(self, alpha=1.0, l1_ratio=0.5, fit_intercept=True,
-                 max_iter=2000, tol=0.0, method="fista", dtype=jnp.float32):
+                 max_iter=2000, tol=0.0, method="fista", dtype=jnp.float32,
+                 positive=False):
         super().__init__(alpha=alpha, l1_ratio=l1_ratio,
                          fit_intercept=fit_intercept, max_iter=max_iter,
-                         tol=tol, method=method, dtype=dtype)
+                         tol=tol, method=method, dtype=dtype,
+                         positive=positive)
 
 
 class Ridge(_BaseRegressor):

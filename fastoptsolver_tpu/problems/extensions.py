@@ -64,16 +64,36 @@ class _LSBase:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class NonNegativeLeastSquares(_LSBase):
-    """``min ½‖Ax−b‖² + α₁‖x‖₁  s.t. x ≥ 0`` (α₁ = 0 gives plain NNLS)."""
+    """``min ½‖Ax−b‖² + ½α₂‖x‖² + α₁‖x‖₁  s.t. x ≥ 0`` (α₁ = α₂ = 0 gives
+    plain NNLS; α₂ > 0 is the positively-constrained elastic net — sklearn's
+    ``ElasticNet(positive=True)``). The ridge term folds into the smooth part
+    exactly like ``LeastSquares`` (SURVEY §7 item 5)."""
 
     alpha1: Array = 0.0
+    alpha2: Array = 0.0
 
     @classmethod
-    def create(cls, A, b, alpha1: float = 0.0, dtype=jnp.float32):
+    def create(cls, A, b, alpha1: float = 0.0, alpha2: float = 0.0,
+               dtype=jnp.float32):
         return cls(
             A=jnp.asarray(A, dtype),
             b=jnp.asarray(b, dtype),
             alpha1=jnp.asarray(alpha1, dtype),
+            alpha2=jnp.asarray(alpha2, dtype),
+        )
+
+    def smooth_value(self, x: Array) -> Array:
+        r = self.residual(x)
+        return 0.5 * (r @ r) + 0.5 * self.alpha2 * (x @ x)
+
+    def smooth_grad(self, x: Array) -> Array:
+        return self.A.T @ self.residual(x) + self.alpha2 * x
+
+    def smooth_value_and_grad(self, x: Array):
+        r = self.residual(x)
+        return (
+            0.5 * (r @ r) + 0.5 * self.alpha2 * (x @ x),
+            self.A.T @ r + self.alpha2 * x,
         )
 
     def prox(self, v: Array, tau: Array) -> Array:

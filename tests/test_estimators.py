@@ -163,3 +163,37 @@ def test_lasso_cv_is_elasticnet_cv_at_ratio_one(rng):
     b = ElasticNetCV(l1_ratio=1.0, **kw).fit(X, y)
     np.testing.assert_allclose(a.coef_, b.coef_, atol=1e-10)
     assert a.alpha_ == b.alpha_
+
+
+def test_lasso_positive_matches_sklearn():
+    """positive=True (coefficients constrained >= 0), sklearn semantics."""
+    from sklearn.linear_model import Lasso as SkLasso
+
+    from fastoptsolver_tpu.estimators import Lasso
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(120, 8))
+    w = np.array([2.0, -1.5, 0.0, 3.0, 0.0, -0.5, 1.0, 0.0])
+    y = X @ w + 0.1 * rng.normal(size=120)
+    ours = Lasso(alpha=0.1, positive=True, max_iter=5000, dtype=jnp.float64).fit(X, y)
+    sk = SkLasso(alpha=0.1, positive=True, max_iter=50000, tol=1e-12).fit(X, y)
+    assert (ours.coef_ >= 0).all()
+    np.testing.assert_allclose(ours.coef_, sk.coef_, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(ours.intercept_, sk.intercept_, rtol=1e-4, atol=1e-6)
+
+
+def test_elasticnet_positive_matches_sklearn():
+    from sklearn.linear_model import ElasticNet as SkEN
+
+    from fastoptsolver_tpu.estimators import ElasticNet
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(150, 6))
+    w = np.array([1.0, 2.0, -1.0, 0.0, 0.5, -2.0])
+    y = X @ w + 0.1 * rng.normal(size=150)
+    ours = ElasticNet(alpha=0.05, l1_ratio=0.6, positive=True, max_iter=5000,
+                      dtype=jnp.float64).fit(X, y)
+    sk = SkEN(alpha=0.05, l1_ratio=0.6, positive=True, max_iter=50000,
+              tol=1e-12).fit(X, y)
+    assert (ours.coef_ >= 0).all()
+    np.testing.assert_allclose(ours.coef_, sk.coef_, rtol=1e-4, atol=1e-6)
