@@ -58,10 +58,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _check_kernel_cfg(cfg: BatchFISTAConfig) -> None:
+    """Entry guard shared by every vmem kernel path: a config option the
+    kernel does not implement must fail loudly, never silently degrade to a
+    different algorithm (the XLA driver, batch/fista_gram.py, implements
+    everything)."""
+    if cfg.backtracking:
+        raise NotImplementedError(
+            "backtracking runs on the XLA driver "
+            "(batch.fista_gram.fista_gram_batch); the vmem kernel is "
+            "fixed-step"
+        )
+    if cfg.adaptive_restart and cfg.momentum != "nesterov":
+        raise ValueError("adaptive restart applies to nesterov momentum only")
+
+
 def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
                        a1_ref, btb_ref, X_ref, Y_ref, *rest,
                        n_pad: int, n_steps: int, with_gap: bool,
-                       restart_threshold: float | None):
+                       restart_threshold: float | None,
+                       greedy: tuple | None = None):
     """Run ``n_steps`` FISTA iterations for one (n_pad, B_TILE) tile.
 
     ``beta_ref``: scalar-prefetched (max_iter,) momentum table; ``k0_ref``:
@@ -76,18 +92,29 @@ def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
     (1, BT) Nesterov scalar ``t_ref`` and previous step-norm ``ps_ref`` and
     computes β on the fly, resetting ``t=1, Y=X`` on lanes whose step-norm
     ratio exceeds the threshold (ratio = ∞ when the previous step was 0).
-    Those two state rows (and their outputs) exist ONLY on the restart path —
-    the fixed-momentum fast path keeps its lean ref list (no extra DMAs).
-    ``rest`` is (t_ref, ps_ref, Xo, Yo, to, pso, gap) with restart, else
-    (Xo, Yo, gap).
+
+    ``greedy`` is not None ⇒ greedy FISTA (batch/fista_gram.py greedy branch:
+    unit momentum, gradient-mapping restart, τ-safeguard). The two state rows
+    are reinterpreted: ``t_ref`` carries the per-lane step τ (the overshot
+    ξ/L, shrunk toward the safe 1/L), ``ps_ref`` the first-step norm the
+    safeguard compares against; an extra ``taumin_ref`` row (1/L) gives the
+    shrink floor. ``greedy`` is the static pair (S, shrink).
+
+    The state rows (and their outputs) exist ONLY on the restart/greedy
+    paths — the fixed-momentum fast path keeps its lean ref list (no extra
+    DMAs). ``rest`` is (t, ps, Xo, Yo, to, pso, gap) with restart,
+    (t, ps, taumin, Xo, Yo, to, pso, gap) with greedy, else (Xo, Yo, gap).
     """
-    if restart_threshold is None:
-        Xo_ref, Yo_ref, gap_ref = rest
-    else:
+    if greedy is not None:
+        t_ref, ps_ref, taumin_ref, Xo_ref, Yo_ref, to_ref, pso_ref, gap_ref = rest
+    elif restart_threshold is not None:
         t_ref, ps_ref, Xo_ref, Yo_ref, to_ref, pso_ref, gap_ref = rest
+    else:
+        Xo_ref, Yo_ref, gap_ref = rest
     tau = tau_ref[:]  # (1, BT) — broadcasts over the feature sublanes
     thr = thr_ref[:]
     a2 = a2_ref[:]
+    a1 = a1_ref[:]
     Q = Q_ref[:]
     c = c_ref[:]
     k0 = k0_ref[0]
@@ -98,7 +125,33 @@ def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
             out += Q[j] * V[j : j + 1, :]
         return out
 
-    if restart_threshold is None:
+    if greedy is not None:
+        S_val, shrink = greedy
+        taumin = taumin_ref[:]
+
+        def step(k, carry):
+            # mirrors batch/fista_gram.py:_iterate_block greedy branch
+            X, Y, tau, fs = carry
+            grad = matvec(Y) + a2 * Y - c
+            V = Y - tau * grad
+            Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - tau * a1, 0.0)
+            this = jnp.sqrt(jnp.sum((Xn - X) ** 2, axis=0, keepdims=True))
+            Yn = Xn + (Xn - X)  # unit momentum
+            restart = jnp.sum((Y - Xn) * (Xn - X), axis=0, keepdims=True) >= 0.0
+            Yn = jnp.where(restart, Xn, Yn)
+            fs = jnp.where(fs == 0.0, this, fs)
+            grow = this > S_val * fs
+            tau = jnp.where(
+                grow | restart, jnp.maximum(shrink * tau, taumin), tau
+            )
+            return Xn, Yn, tau, fs
+
+        X, Y, t, ps = jax.lax.fori_loop(
+            0, n_steps, step, (X_ref[:], Y_ref[:], t_ref[:], ps_ref[:])
+        )
+        to_ref[:] = t
+        pso_ref[:] = ps
+    elif restart_threshold is None:
         def step(k, carry):
             X, Y = carry
             grad = matvec(Y) + a2 * Y - c
@@ -178,20 +231,21 @@ def momentum_betas(k0: int, n_steps: int, t0: float, cfg: BatchFISTAConfig):
     return jnp.asarray(betas), t
 
 
-def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, t, ps, *, n_pad,
-           b_tile, n_steps, interpret, with_gap=False, restart_threshold=None):
+def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, t, ps, taumin=None,
+           *, n_pad, b_tile, n_steps, interpret, with_gap=False,
+           restart_threshold=None, greedy=None):
     """One kernel launch advancing every tile by ``n_steps`` iterations.
 
-    Returns ``(X, Y, t, ps, gap)`` — ``t``/``ps`` are the per-lane Nesterov
-    scalar and previous step-norm rows (meaningful under adaptive restart,
-    passed through otherwise); ``gap`` is the in-kernel per-lane relative
-    duality gap when ``with_gap``, else zeros."""
+    Returns ``(X, Y, t, ps, gap)`` — ``t``/``ps`` are the per-lane state rows
+    (Nesterov scalar + previous step-norm under adaptive restart; per-lane τ
+    + first-step norm under greedy; passed through otherwise); ``gap`` is the
+    in-kernel per-lane relative duality gap when ``with_gap``, else zeros."""
     B = Q.shape[-1]
     grid = (B // b_tile,)
-    restart = restart_threshold is not None
+    stateful = (restart_threshold is not None) or (greedy is not None)
     kern = functools.partial(
         _fista_tile_kernel, n_pad=n_pad, n_steps=n_steps, with_gap=with_gap,
-        restart_threshold=restart_threshold,
+        restart_threshold=restart_threshold, greedy=greedy,
     )
     vec = lambda r: pl.BlockSpec(
         (r, b_tile), lambda i, *prefetch: (0, i), memory_space=pltpu.VMEM
@@ -214,12 +268,13 @@ def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, t, ps, *, n_pad,
             vec(1),  # btb
             vec(n_pad),  # X
             vec(n_pad),  # Y
-            # t (per-lane Nesterov scalar) + ps (prev step norm): restart only
-            *([vec(1), vec(1)] if restart else []),
+            # per-lane state rows: restart (t, ps) / greedy (tau, fs) only
+            *([vec(1), vec(1)] if stateful else []),
+            *([vec(1)] if greedy is not None else []),  # taumin (greedy floor)
         ],
         out_specs=[
             vec(n_pad), vec(n_pad),
-            *([vec(1), vec(1)] if restart else []),
+            *([vec(1), vec(1)] if stateful else []),
             vec(1),
         ],
     )
@@ -228,13 +283,14 @@ def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, t, ps, *, n_pad,
         grid_spec=grid_spec,
         out_shape=[
             state_vec(n_pad), state_vec(n_pad),
-            *([state_vec(1), state_vec(1)] if restart else []),
+            *([state_vec(1), state_vec(1)] if stateful else []),
             state_vec(1),
         ],
         interpret=interpret,
     )(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y,
-      *([t, ps] if restart else []))
-    if restart:
+      *([t, ps] if stateful else []),
+      *([taumin] if greedy is not None else []))
+    if stateful:
         return out  # (X, Y, t, ps, gap)
     Xo, Yo, gap = out
     return Xo, Yo, t, ps, gap  # state rows passed through untouched
@@ -276,11 +332,11 @@ class _VmemState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("n_pad", "b_tile", "chunk", "n_bursts", "tol",
-                     "interpret", "certify", "restart_threshold"),
+                     "interpret", "certify", "restart_threshold", "greedy"),
 )
-def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, *,
+def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, taumin, *,
                      n_pad, b_tile, chunk, n_bursts, tol, interpret, certify,
-                     restart_threshold=None):
+                     restart_threshold=None, greedy=None):
     """The full certified solve as one device program (single host sync)."""
     B = Q.shape[-1]
     dtype = Q.dtype
@@ -290,9 +346,10 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, *,
     def burst(state: _VmemState) -> _VmemState:
         X, Y, t, ps, gvec = _burst(
             betas, state.k[None].astype(jnp.int32), Q, c, tau, thr, a2,
-            a1row, btbrow, state.X, state.Y, state.t, state.ps,
+            a1row, btbrow, state.X, state.Y, state.t, state.ps, taumin,
             n_pad=n_pad, b_tile=b_tile, n_steps=chunk, interpret=interpret,
             with_gap=certify, restart_threshold=restart_threshold,
+            greedy=greedy,
         )
         k = state.k + chunk
         if not certify:
@@ -302,6 +359,15 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, *,
         failed = ~jnp.all(jnp.isfinite(X), axis=0) | jnp.isnan(g)
         g = jnp.where(failed, jnp.inf, g)
         newly = (~state.done) & ((g <= tol) | failed)
+        if greedy is not None:
+            # Outer safeguard (batch/fista_gram.py burst body): a live lane
+            # whose certified gap did not improve over a whole check window
+            # gets its τ halved toward 1/L — stuck overshoot lanes provably
+            # degrade into plain FISTA.
+            stuck = (~state.done) & ~newly & (g > 0.9 * state.gap)
+            t = jnp.where(
+                stuck[None, :], jnp.maximum(0.5 * t, taumin), t
+            )
         return _VmemState(
             X=X,
             Y=Y,
@@ -316,7 +382,8 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, *,
     state = _VmemState(
         X=jnp.zeros((n_pad, B), dtype),
         Y=jnp.zeros((n_pad, B), dtype),
-        t=jnp.ones((1, B), dtype),
+        # greedy reinterprets (t, ps) as (per-lane τ, first-step norm)
+        t=tau if greedy is not None else jnp.ones((1, B), dtype),
         ps=jnp.zeros((1, B), dtype),
         k=jnp.zeros((), jnp.int32),
         done=jnp.zeros((B,), bool),
@@ -365,9 +432,13 @@ def fista_gram_vmem(
     Adaptive restart (reference iterative_solvers.py:209-217) is supported
     for nesterov momentum: the kernel carries per-lane (t, prev-step-norm)
     rows and computes β in-register, restarting lanes independently.
+
+    Greedy momentum (``cfg.momentum == "greedy"``) runs fully in-kernel too:
+    per-lane τ starts at ξ/L, unit momentum with the gradient-mapping restart
+    test, the in-step safeguard, and the burst-boundary stuck-lane shrink —
+    the same recurrence as batch/fista_gram.py's greedy branch.
     """
-    if cfg.adaptive_restart and cfg.momentum != "nesterov":
-        raise ValueError("adaptive restart applies to nesterov momentum only")
+    _check_kernel_cfg(cfg)
     n, B_orig = gb.c.shape
     n_pad = _round_up(max(n, SUBLANE), SUBLANE)
     if b_tile is None:
@@ -379,6 +450,10 @@ def fista_gram_vmem(
     chunk = cfg.check_every if certify else cfg.max_iter
     n_bursts = -(-cfg.max_iter // chunk)
     betas, _ = momentum_betas(0, n_bursts * chunk, 1.0, cfg)
+    greedy = (
+        (cfg.greedy_S, cfg.greedy_shrink) if cfg.momentum == "greedy" else None
+    )
+    step_factor = cfg.greedy_xi if greedy is not None else cfg.t_init_factor
 
     # Everything from padding to the final slice is ONE jitted program: each
     # eager op here would cost a full dispatch round-trip over the TPU tunnel.
@@ -386,10 +461,11 @@ def fista_gram_vmem(
         betas, gb.Q, gb.c, gb.btb, gb.alpha1, gb.alpha2, gb.L,
         pn=n_pad - n, pB=B - B_orig, n_pad=n_pad, b_tile=b_tile, chunk=chunk,
         n_bursts=n_bursts, tol=cfg.rel_gap_tol, interpret=interpret,
-        certify=certify, t_init_factor=cfg.t_init_factor,
+        certify=certify, t_init_factor=step_factor,
         restart_threshold=(
             cfg.restart_threshold if cfg.adaptive_restart else None
         ),
+        greedy=greedy,
     )
 
 
@@ -398,11 +474,13 @@ def fista_gram_vmem(
     static_argnames=(
         "pn", "pB", "n_pad", "b_tile", "chunk", "n_bursts", "tol",
         "interpret", "certify", "t_init_factor", "restart_threshold",
+        "greedy",
     ),
 )
 def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
                    b_tile, chunk, n_bursts, tol, interpret, certify,
-                   t_init_factor, restart_threshold=None) -> BatchResult:
+                   t_init_factor, restart_threshold=None,
+                   greedy=None) -> BatchResult:
     n, B_orig = c.shape
     if pn or pB:
         Q = jnp.pad(Q, ((0, pn), (0, pn), (0, pB)))
@@ -415,12 +493,13 @@ def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
     tau = (t_init_factor / L).astype(dtype)[None, :]
     thr = tau * alpha1[None, :]
     a2 = alpha2[None, :].astype(dtype)
+    taumin = (1.0 / L).astype(dtype)[None, :]
 
     state = _solve_on_device(
-        betas, Q, c, btb, alpha1, alpha2, tau, thr, a2,
+        betas, Q, c, btb, alpha1, alpha2, tau, thr, a2, taumin,
         n_pad=n_pad, b_tile=b_tile, chunk=chunk, n_bursts=n_bursts,
         tol=tol, interpret=interpret, certify=certify,
-        restart_threshold=restart_threshold,
+        restart_threshold=restart_threshold, greedy=greedy,
     )
     sl = slice(0, B_orig)
     failed = ~jnp.all(jnp.isfinite(state.X[:, sl]), axis=0)
@@ -456,9 +535,12 @@ def fista_gram_vmem_sharded(
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if cfg.adaptive_restart and cfg.momentum != "nesterov":
-        raise ValueError("adaptive restart applies to nesterov momentum only")
+    _check_kernel_cfg(cfg)
     restart_threshold = cfg.restart_threshold if cfg.adaptive_restart else None
+    greedy = (
+        (cfg.greedy_S, cfg.greedy_shrink) if cfg.momentum == "greedy" else None
+    )
+    step_factor = cfg.greedy_xi if greedy is not None else cfg.t_init_factor
     n_dev = mesh.shape[axis]
     if b_tile is None:
         b_tile = auto_b_tile(_round_up(max(gb.c.shape[0], SUBLANE), SUBLANE))
@@ -472,11 +554,12 @@ def fista_gram_vmem_sharded(
     chunk = cfg.check_every if certify else cfg.max_iter
     n_bursts = -(-cfg.max_iter // chunk)
     betas, _ = momentum_betas(0, n_bursts * chunk, 1.0, cfg)
-    tau = (cfg.t_init_factor / gbp.L).astype(dtype)[None, :]
+    tau = (step_factor / gbp.L).astype(dtype)[None, :]
     thr = tau * gbp.alpha1[None, :]
     a2 = gbp.alpha2[None, :].astype(dtype)
+    taumin = (1.0 / gbp.L).astype(dtype)[None, :]
 
-    def local_solve(betas, Q, c, btb, alpha1, a2v, tau, thr, a2):
+    def local_solve(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, taumin):
         Bl = Q.shape[-1]
         a1row = alpha1[None, :].astype(Q.dtype)
         btbrow = btb[None, :].astype(Q.dtype)
@@ -484,15 +567,21 @@ def fista_gram_vmem_sharded(
         def burst(i, s):
             X, Y, t, ps, gvec = _burst(
                 betas, s.k[None].astype(jnp.int32), Q, c, tau, thr, a2,
-                a1row, btbrow, s.X, s.Y, s.t, s.ps,
+                a1row, btbrow, s.X, s.Y, s.t, s.ps, taumin,
                 n_pad=n_pad, b_tile=b_tile, n_steps=chunk, interpret=interpret,
                 with_gap=True, restart_threshold=restart_threshold,
+                greedy=greedy,
             )
             k = s.k + chunk
             g = gvec[0]
             failed = ~jnp.all(jnp.isfinite(X), axis=0) | jnp.isnan(g)
             g = jnp.where(failed, jnp.inf, g)
             newly = (~s.done) & ((g <= cfg.rel_gap_tol) | failed)
+            if greedy is not None:
+                stuck = (~s.done) & ~newly & (g > 0.9 * s.gap)
+                t = jnp.where(
+                    stuck[None, :], jnp.maximum(0.5 * t, taumin), t
+                )
             return _VmemState(
                 X=X, Y=Y, t=t, ps=ps, k=k,
                 done=s.done | newly,
@@ -503,7 +592,7 @@ def fista_gram_vmem_sharded(
         init = _VmemState(
             X=jnp.zeros((n_pad, Bl), dtype),
             Y=jnp.zeros((n_pad, Bl), dtype),
-            t=jnp.ones((1, Bl), dtype),
+            t=tau if greedy is not None else jnp.ones((1, Bl), dtype),
             ps=jnp.zeros((1, Bl), dtype),
             k=jnp.zeros((), jnp.int32),
             done=jnp.zeros((Bl,), bool),
@@ -518,7 +607,8 @@ def fista_gram_vmem_sharded(
     fn = jax.shard_map(
         local_solve,
         mesh=mesh,
-        in_specs=(P(), P(None, None, axis), shard, vec, vec, vec, shard, shard, shard),
+        in_specs=(P(), P(None, None, axis), shard, vec, vec, vec, shard,
+                  shard, shard, shard),
         out_specs=(shard, vec, vec, vec),
         # pallas_call's out_shape carries no varying-mesh-axes info; skip the
         # vma check (the kernel is purely local — no collectives inside)
@@ -536,6 +626,7 @@ def fista_gram_vmem_sharded(
         dev(tau, shard),
         dev(thr, shard),
         dev(a2, shard),
+        dev(taumin, shard),
     )
     sl = slice(0, B_orig)
     failed = ~jnp.all(jnp.isfinite(X[:, sl]), axis=0)
@@ -555,17 +646,28 @@ def fista_gram_vmem_sharded(
 
 
 def _fista_tile_kernel_adaptive(beta_ref, Q_ref, c_ref, tau_ref, thr_ref,
-                                a2_ref, a1_ref, btb_ref, Xo_ref, gap_ref,
-                                iters_ref, done_ref, *, n_pad: int, chunk: int,
+                                a2_ref, a1_ref, btb_ref, *rest,
+                                n_pad: int, chunk: int,
                                 n_bursts: int, tol: float,
-                                restart_threshold: float | None):
+                                restart_threshold: float | None,
+                                greedy: tuple | None = None):
     """The ENTIRE certified solve for one (n_pad, B_TILE) tile in one kernel
     launch: a while loop alternates ``chunk``-iteration bursts with the
     in-kernel duality-gap check, exiting as soon as THIS TILE's lanes are all
     certified (or quarantined non-finite). Where the burst driver
     (_solve_on_device) runs every tile to the global max lane's iteration
     count, each tile here pays only its own — and the X/Y round-trips to HBM
-    between bursts disappear."""
+    between bursts disappear.
+
+    ``greedy`` = static (S, shrink) runs the greedy-FISTA recurrence
+    (per-lane τ from the carried t row, unit momentum, gradient-mapping
+    restart, safeguards incl. the per-check stuck-lane shrink); ``rest`` is
+    then (taumin_ref, Xo, gap, iters, done), else (Xo, gap, iters, done)."""
+    if greedy is not None:
+        taumin_ref, Xo_ref, gap_ref, iters_ref, done_ref = rest
+        taumin = taumin_ref[:]
+    else:
+        Xo_ref, gap_ref, iters_ref, done_ref = rest
     tau = tau_ref[:]
     thr = thr_ref[:]
     a2 = a2_ref[:]
@@ -603,6 +705,24 @@ def _fista_tile_kernel_adaptive(beta_ref, Q_ref, c_ref, tau_ref, thr_ref,
     def fista_steps(k0, X, Y, t, ps):
         def step(i, carry):
             X, Y, t, ps = carry
+            if greedy is not None:
+                # batch/fista_gram.py greedy branch, per-lane τ in t
+                S_val, shrink = greedy
+                grad = matvec(Y) + a2 * Y - c
+                V = Y - t * grad
+                Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - t * a1, 0.0)
+                this = jnp.sqrt(jnp.sum((Xn - X) ** 2, axis=0, keepdims=True))
+                Yn = Xn + (Xn - X)  # unit momentum
+                restart = (
+                    jnp.sum((Y - Xn) * (Xn - X), axis=0, keepdims=True) >= 0.0
+                )
+                Yn = jnp.where(restart, Xn, Yn)
+                ps = jnp.where(ps == 0.0, this, ps)
+                grow = this > S_val * ps
+                t = jnp.where(
+                    grow | restart, jnp.maximum(shrink * t, taumin), t
+                )
+                return Xn, Yn, t, ps
             grad = matvec(Y) + a2 * Y - c
             V = Y - tau * grad
             Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - thr, 0.0)
@@ -632,6 +752,10 @@ def _fista_tile_kernel_adaptive(beta_ref, Q_ref, c_ref, tau_ref, thr_ref,
         finite = jnp.all(jnp.isfinite(X), axis=0, keepdims=True)
         g = jnp.where(finite, g, jnp.inf)
         newly = (done == 0.0) & ((g <= tol) | ~finite)
+        if greedy is not None:
+            # stuck-lane safeguard at the check boundary (τ → toward 1/L)
+            stuck = (done == 0.0) & ~newly & (g > 0.9 * gap)
+            t = jnp.where(stuck, jnp.maximum(0.5 * t, taumin), t)
         done = jnp.where(newly, 1.0, done)
         iters = jnp.where(done == 0.0, jnp.float32(k), jnp.where(newly, jnp.float32(k), iters))
         gap = jnp.where(newly | (done == 0.0), g, gap)
@@ -639,10 +763,11 @@ def _fista_tile_kernel_adaptive(beta_ref, Q_ref, c_ref, tau_ref, thr_ref,
 
     zero = jnp.zeros_like(c)
     onerow = jnp.zeros_like(tau)
+    t0row = tau if greedy is not None else jnp.ones_like(tau)
     X, Y, t, ps, k, done, iters, gap = jax.lax.while_loop(
         cond,
         body,
-        (zero, zero, jnp.ones_like(tau), onerow, jnp.zeros((), jnp.int32),
+        (zero, zero, t0row, onerow, jnp.zeros((), jnp.int32),
          onerow, onerow, jnp.full_like(tau, jnp.inf)),
     )
     Xo_ref[:] = X
@@ -654,11 +779,12 @@ def _fista_tile_kernel_adaptive(beta_ref, Q_ref, c_ref, tau_ref, thr_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("pn", "pB", "n_pad", "b_tile", "chunk", "n_bursts",
-                     "tol", "interpret", "restart_threshold"),
+                     "tol", "interpret", "restart_threshold", "greedy"),
 )
 def _solve_adaptive(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
                     b_tile, chunk, n_bursts, tol, interpret,
-                    t_init_factor, restart_threshold=None) -> BatchResult:
+                    t_init_factor, restart_threshold=None,
+                    greedy=None) -> BatchResult:
     n, B_orig = c.shape
     if pn or pB:
         Q = jnp.pad(Q, ((0, pn), (0, pn), (0, pB)))
@@ -674,10 +800,12 @@ def _solve_adaptive(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
     a2 = alpha2[None, :].astype(dtype)
     a1 = alpha1[None, :].astype(dtype)
     btbrow = btb[None, :].astype(dtype)
+    taumin = (1.0 / L).astype(dtype)[None, :]
 
     kern = functools.partial(
         _fista_tile_kernel_adaptive, n_pad=n_pad, chunk=chunk,
         n_bursts=n_bursts, tol=tol, restart_threshold=restart_threshold,
+        greedy=greedy,
     )
     vec = lambda r: pl.BlockSpec(
         (r, b_tile), lambda i, *prefetch: (0, i), memory_space=pltpu.VMEM
@@ -690,6 +818,7 @@ def _solve_adaptive(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
                          memory_space=pltpu.VMEM),
             vec(n_pad),  # c
             vec(1), vec(1), vec(1), vec(1), vec(1),  # tau, thr, a2, a1, btb
+            *([vec(1)] if greedy is not None else []),  # taumin
         ],
         out_specs=[vec(n_pad), vec(1), vec(1), vec(1)],
     )
@@ -703,7 +832,8 @@ def _solve_adaptive(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
         interpret=interpret,
-    )(betas, Q, c, tau, thr, a2, a1, btbrow)
+    )(betas, Q, c, tau, thr, a2, a1, btbrow,
+      *([taumin] if greedy is not None else []))
     sl = slice(0, B_orig)
     failed = ~jnp.all(jnp.isfinite(X[:, sl]), axis=0)
     return BatchResult(
@@ -726,11 +856,15 @@ def fista_gram_vmem_adaptive(
     while-loop lives INSIDE the kernel, so each lane tile exits at its own
     convergence point instead of the batch's global max. Fresh solves only
     (no resume state); ``check_every`` must be > 0. Adaptive restart
-    (nesterov momentum) runs fully in-kernel as in :func:`fista_gram_vmem`."""
-    if cfg.adaptive_restart and cfg.momentum != "nesterov":
-        raise ValueError("adaptive restart applies to nesterov momentum only")
+    (nesterov momentum) and greedy momentum run fully in-kernel as in
+    :func:`fista_gram_vmem`."""
+    _check_kernel_cfg(cfg)
     if cfg.check_every <= 0:
         raise ValueError("adaptive kernel needs check_every > 0")
+    greedy = (
+        (cfg.greedy_S, cfg.greedy_shrink) if cfg.momentum == "greedy" else None
+    )
+    step_factor = cfg.greedy_xi if greedy is not None else cfg.t_init_factor
     n, B_orig = gb.c.shape
     n_pad = _round_up(max(n, SUBLANE), SUBLANE)
     if b_tile is None:
@@ -744,8 +878,9 @@ def fista_gram_vmem_adaptive(
         betas, gb.Q, gb.c, gb.btb, gb.alpha1, gb.alpha2, gb.L,
         pn=n_pad - n, pB=B - B_orig, n_pad=n_pad, b_tile=b_tile, chunk=chunk,
         n_bursts=n_bursts, tol=cfg.rel_gap_tol, interpret=interpret,
-        t_init_factor=cfg.t_init_factor,
+        t_init_factor=step_factor,
         restart_threshold=(
             cfg.restart_threshold if cfg.adaptive_restart else None
         ),
+        greedy=greedy,
     )
