@@ -44,17 +44,32 @@ class DenseGram:
         return self.Q.shape[0]
 
 
-def _accum(Q, c, btb, m, A_i, b_i):
+def _kahan(acc, comp, delta):
+    """One compensated accumulation step: acc += delta with the running
+    rounding error carried in comp — the stored sum stays within ~one f32
+    rounding of the true sum regardless of chunk count (vs O(#chunks)
+    roundings plain; matters because the duality-gap certification,
+    solvers/gram_dense.py, is only as honest as the stored triple)."""
+    # optimization_barrier: XLA's algebraic simplifier would rewrite
+    # (acc + y) - acc → y and erase the compensation (see ops/df32.py)
+    y = delta - comp
+    t = jax.lax.optimization_barrier(acc + y)
+    comp = jax.lax.optimization_barrier(t - acc) - y
+    return t, comp
+
+
+def _accum(Q, Qc, c, cc, btb, bc, m, A_i, b_i):
     """One chunk's contribution. Donated accumulators — Q is updated in
-    place on device, so peak HBM is Q + one chunk, not 2Q."""
+    place on device (one Q ever resident, not 2Q); in-flight prefetched
+    chunks add to the envelope (see ``stream_gram``)."""
     hi = jax.lax.Precision.HIGHEST  # MXU default would truncate to bf16
-    Q = Q + jnp.matmul(A_i.T, A_i, precision=hi)
-    c = c + jnp.matmul(A_i.T, b_i, precision=hi)
-    btb = btb + jnp.vdot(b_i, b_i)
-    return Q, c, btb, m + A_i.shape[0]
+    Q, Qc = _kahan(Q, Qc, jnp.matmul(A_i.T, A_i, precision=hi))
+    c, cc = _kahan(c, cc, jnp.matmul(A_i.T, b_i, precision=hi))
+    btb, bc = _kahan(btb, bc, jnp.vdot(b_i, b_i))
+    return Q, Qc, c, cc, btb, bc, m + A_i.shape[0]
 
 
-_accum = jax.jit(_accum, donate_argnums=(0, 1, 2, 3))
+_accum = jax.jit(_accum, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
 
 
 def stream_gram(
@@ -68,13 +83,17 @@ def stream_gram(
 
     Transfers are double-buffered: up to ``prefetch`` chunks are enqueued with
     ``jax.device_put`` (async on TPU) while the MXU reduces the current one,
-    so the pass runs at min(link bandwidth, matmul throughput). Chunks may
-    have different row counts (each distinct mᵢ compiles once — keep chunk
-    sizes uniform apart from the tail).
+    so the pass runs at min(link bandwidth, matmul throughput). Peak HBM is
+    Q + ``prefetch`` chunks. Chunks may have different row counts (each
+    distinct mᵢ compiles once — keep chunk sizes uniform apart from the
+    tail).
     """
     Q = jnp.zeros((n, n), dtype)
+    Qc = jnp.zeros((n, n), dtype)  # Kahan compensation (one extra Q of HBM)
     c = jnp.zeros((n,), dtype)
+    cc = jnp.zeros((n,), dtype)
     btb = jnp.zeros((), dtype)
+    bc = jnp.zeros((), dtype)
     m = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
 
     it = iter(chunks)
@@ -91,13 +110,13 @@ def stream_gram(
 
     for pair in it:
         buf.append(put(pair))
-        if len(buf) <= prefetch:
+        if len(buf) < prefetch:
             continue
         A_i, b_i = buf.pop(0)
-        Q, c, btb, m = _accum(Q, c, btb, m, A_i, b_i)
+        Q, Qc, c, cc, btb, bc, m = _accum(Q, Qc, c, cc, btb, bc, m, A_i, b_i)
     while buf:
         A_i, b_i = buf.pop(0)
-        Q, c, btb, m = _accum(Q, c, btb, m, A_i, b_i)
+        Q, Qc, c, cc, btb, bc, m = _accum(Q, Qc, c, cc, btb, bc, m, A_i, b_i)
     return DenseGram(Q=Q, c=c, btb=btb, m=m)
 
 

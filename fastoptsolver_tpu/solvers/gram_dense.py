@@ -14,9 +14,11 @@ the fixed-step FISTA of ``/root/reference/iterative_solvers.py:170-221``
 with Nesterov momentum and optional adaptive restart (``:209-217``).
 
 f32 certification floor: the Gram-form residual ``xᵀQx − 2cᵀx + bᵀb``
-cancels catastrophically when ‖Ax−b‖² ≪ bᵀb, so the gap is evaluated in
-float64 (cheap: O(n²) once per check, emulated-f64 on TPU is fine at that
-rate) — without this, rel_gap_tol below ~1e-5 is unreachable at large m.
+cancels catastrophically when ‖Ax−b‖² ≪ bᵀb, so the gap is evaluated with
+df32 compensated arithmetic (ops/df32.py — ~48 effective mantissa bits from
+plain f32 VPU ops, no dependence on the process-global x64 flag; cheap:
+O(n²) once per ``check_every`` iterations) — without this, rel_gap_tol below
+~1e-5 is unreachable at large m.
 """
 from __future__ import annotations
 
@@ -77,29 +79,81 @@ def _power_L(Q: Array, key: Array, n_iter: int, tol: float) -> Array:
 
 def _rel_gap_dense(Q, c, btb, alpha1, alpha2, X) -> Array:
     """Scalar-instance relative duality gap — same derivation as
-    ops/gap.py / batch.fista_gram._rel_gap, evaluated in float64 to dodge
-    the Gram-form cancellation (module docstring)."""
-    f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    X = X.astype(f64)
-    Qd, cd = Q.astype(f64), c.astype(f64)
-    a1, a2 = jnp.asarray(alpha1, f64), jnp.asarray(alpha2, f64)
-    QX = Qd @ X
-    xQx = X @ QX
-    cx = cd @ X
-    xx = X @ X
+    ops/gap.py / batch.fista_gram._rel_gap, evaluated with df32 compensated
+    arithmetic (ops/df32.py) so it certifies below the plain-f32 cancellation
+    floor regardless of the process-global ``jax_enable_x64`` flag (the old
+    behavior silently degraded to f32 whenever x64 was off — every production
+    path; ADVICE r2).
+
+    Two cancellation regimes are handled:
+    - ``rr = xᵀQx − 2cᵀx + bᵀb`` (≈ ‖Ax−b‖² ≪ bᵀb at large m): df32 matvec
+      + compensated dots keep ~48 mantissa bits through the cancellation.
+    - near the optimum the dual scaling ``s`` saturates at 1 and the gap
+      algebraically reduces to ``xᵀu + α₁‖x‖₁`` with every term O(f) — that
+      branch is used whenever ``u_inf ≤ α₁``, so the certified quantity never
+      involves an O(bᵀb)-sized cancellation at all.
+
+    Remaining floor: the f32 *representation* rounding of the stored
+    (Q, c, bᵀb) triple itself (~2⁻²⁴ of accumulated magnitudes) — see
+    ops/df32.py; stream_gram's compensated accumulation keeps that to one
+    rounding."""
+    from ..ops import df32
+
+    dtype = Q.dtype
+    a1 = jnp.asarray(alpha1, dtype)
+    a2 = jnp.asarray(alpha2, dtype)
+    if dtype == jnp.float64:
+        # f64 inputs (x64-enabled runs): plain arithmetic already has ~2⁻⁵³
+        QX = Q @ X
+        xQx = X @ QX
+        cx = c @ X
+        xx = X @ X
+        l1 = jnp.sum(jnp.abs(X))
+        rr = jnp.maximum(xQx - 2.0 * cx + btb, 0.0)
+        rb = cx - btb
+        u = QX - c + a2 * X
+        u_inf = jnp.max(jnp.abs(u))
+        uu = u @ u
+        f = 0.5 * rr + 0.5 * a2 * xx + a1 * l1
+        s = jnp.where(u_inf > a1, a1 / jnp.maximum(u_inf, 1e-30), 1.0)
+        dual_neg = 0.5 * (s * s) * rr + s * rb + 0.5 * a2 * (s * s) * xx
+        l1_gap = jnp.maximum(f + dual_neg, 0.0)
+        smooth_gap = uu / jnp.where(a2 > 0, 2.0 * a2, 1.0)
+        gap = jnp.where(a1 > 0, l1_gap, smooth_gap)
+        return gap / jnp.maximum(f, 1.0)
+    wh, wl = df32.matvec2(Q, X)  # df32 QX
+    xQx = df32.dot2_df(X, wh, wl)
+    cx = df32.dot2(c, X)
+    xx = jnp.sum(X * X)
     l1 = jnp.sum(jnp.abs(X))
-    rr = jnp.maximum(xQx - 2.0 * cx + btb.astype(f64), 0.0)
-    rb = cx - btb.astype(f64)
-    u = QX - cd + a2 * X
+    rr_df = df32.df_add(
+        df32.df_add(xQx, df32.df_scale(cx, -2.0)), (btb, jnp.zeros_like(btb))
+    )
+    rr = jnp.maximum(df32.df_value(rr_df), 0.0)
+    rb = df32.df_value(df32.df_add(cx, (-btb, jnp.zeros_like(btb))))
+    # dual vector u = Qx − c + α₂x, df-resolved so u_inf/uu/xᵀu carry the
+    # cancellation already absorbed into (uh, ul)
+    ph, pl = df32.df_vec_prod(a2, X)
+    uh, ul = df32.df_vec_add(wh, wl, -c, jnp.zeros_like(c))
+    uh, ul = df32.df_vec_add(uh, ul, ph, pl)
+    u = uh + ul
     u_inf = jnp.max(jnp.abs(u))
     uu = u @ u
+    xu = df32.df_value(df32.dot2_df(X, uh, ul))
+
     f = 0.5 * rr + 0.5 * a2 * xx + a1 * l1
-    s = jnp.where(u_inf > a1, a1 / jnp.maximum(u_inf, 1e-30), 1.0)
+    # general branch (early iterations, s < 1): gap is large, f32 combination
+    # of the df-backed scalars is plenty
+    s = a1 / jnp.maximum(u_inf, 1e-30)
     dual_neg = 0.5 * (s * s) * rr + s * rb + 0.5 * a2 * (s * s) * xx
-    l1_gap = jnp.maximum(f + dual_neg, 0.0)
+    gap_general = jnp.maximum(f + dual_neg, 0.0)
+    # saturated branch (s = 1): f + dual_neg == xᵀu + α₁‖x‖₁ exactly — every
+    # term O(f), no O(bᵀb) cancellation
+    gap_s1 = jnp.maximum(xu + a1 * l1, 0.0)
+    l1_gap = jnp.where(u_inf > a1, gap_general, gap_s1)
     smooth_gap = uu / jnp.where(a2 > 0, 2.0 * a2, 1.0)
     gap = jnp.where(a1 > 0, l1_gap, smooth_gap)
-    return (gap / jnp.maximum(f, 1.0)).astype(Q.dtype)
+    return (gap / jnp.maximum(f, 1.0)).astype(dtype)
 
 
 class _State(NamedTuple):
