@@ -31,7 +31,7 @@ class _BaseRegressor:
 
     def __init__(self, alpha=1.0, l1_ratio=1.0, fit_intercept=True,
                  max_iter=2000, tol=0.0, method="fista", dtype=jnp.float32,
-                 positive=False):
+                 positive=False, warm_start=False):
         self.alpha = float(alpha)
         self.l1_ratio = float(l1_ratio)
         self.fit_intercept = bool(fit_intercept)
@@ -40,6 +40,7 @@ class _BaseRegressor:
         self.method = method
         self.dtype = dtype
         self.positive = bool(positive)
+        self.warm_start = bool(warm_start)
 
     def _reg(self, n_samples: int) -> tuple[str, float, float]:
         a1 = n_samples * self.alpha * self.l1_ratio
@@ -50,35 +51,83 @@ class _BaseRegressor:
             return "lasso", a1, 0.0
         return "elasticnet", a1, a2
 
-    def fit(self, X, y):
+    def fit(self, X, y, sample_weight=None):
         X = np.asarray(X, np.float64)
         y = np.asarray(y, np.float64)
+        if sample_weight is not None:
+            # sklearn semantics: weights are rescaled to sum to n_samples;
+            # centering uses the weighted means; the solve runs on rows
+            # scaled by √wᵢ (exactly the weighted least-squares objective —
+            # the explicit-weights problem type, problems/extensions.py
+            # WeightedLeastSquares, is the same math kept unscaled).
+            w = np.asarray(sample_weight, np.float64)
+            if w.shape != (X.shape[0],):
+                raise ValueError(
+                    f"sample_weight has shape {w.shape}, expected ({X.shape[0]},)"
+                )
+            if np.any(w < 0):
+                raise ValueError("sample_weight must be nonnegative")
+            w = w * (X.shape[0] / w.sum())
+        else:
+            w = None
         if self.fit_intercept:
-            self._x_mean = X.mean(axis=0)
-            self._y_mean = y.mean()
+            if w is None:
+                self._x_mean = X.mean(axis=0)
+                self._y_mean = y.mean()
+            else:
+                self._x_mean = np.average(X, axis=0, weights=w)
+                self._y_mean = float(np.average(y, weights=w))
             Xc, yc = X - self._x_mean, y - self._y_mean
         else:
             self._x_mean = np.zeros(X.shape[1])
             self._y_mean = 0.0
             Xc, yc = X, y
+        if w is not None:
+            sw = np.sqrt(w)
+            Xc = Xc * sw[:, None]
+            yc = yc * sw
         reg, a1, a2 = self._reg(X.shape[0])
         if self.positive:
             # sklearn's positive=True: coefficients constrained ≥ 0. The
             # constraint is just another problem type — the positively-
-            # constrained elastic net runs on the unchanged FISTA.
+            # constrained elastic net runs on the unchanged FISTA. Other
+            # methods cannot honor the constraint; reject rather than
+            # silently switching algorithms under the user.
+            if self.method not in ("fista", "ista"):
+                raise ValueError(
+                    f"positive=True requires a proximal method (fista/ista); "
+                    f"got method={self.method!r}"
+                )
             from .problems import NonNegativeLeastSquares
-            from .solvers import FISTAConfig, fista
+            from .solvers import FISTAConfig, ISTAConfig, fista, ista
 
             prob = NonNegativeLeastSquares.create(
                 Xc, yc, alpha1=a1, alpha2=a2, dtype=self.dtype
             )
-            res = fista(prob, FISTAConfig(max_iter=self.max_iter, tol=self.tol))
+            x0 = (
+                jnp.asarray(np.maximum(self.coef_, 0.0), self.dtype)
+                if self.warm_start and hasattr(self, "coef_")
+                else None
+            )
+            if self.method == "ista":
+                res = ista(prob, ISTAConfig(max_iter=self.max_iter, tol=self.tol),
+                           x0=x0)
+            else:
+                res = fista(prob, FISTAConfig(max_iter=self.max_iter, tol=self.tol),
+                            x0=x0)
         else:
             kwargs = dict(max_iter=self.max_iter)
             if self.method in ("fista", "ista", "lbfgs", "owlqn"):
                 kwargs["tol"] = self.tol
+            # sklearn warm_start semantics: reuse the previous fit's
+            # coefficients as the starting point (the solvers all accept x0)
+            x0 = (
+                np.asarray(self.coef_, np.float64)
+                if self.warm_start and hasattr(self, "coef_")
+                else None
+            )
             res = solve(Xc, yc, reg, alpha1=a1, alpha2=a2, method=self.method,
-                        dtype=self.dtype, **kwargs)
+                        dtype=self.dtype, x0=x0, **kwargs)
         self.coef_ = np.asarray(res.x, np.float64)
         self.intercept_ = float(self._y_mean - self._x_mean @ self.coef_)
         self.n_iter_ = int(res.n_iters)
@@ -102,10 +151,11 @@ class Lasso(_BaseRegressor):
     hyperparameter semantics)."""
 
     def __init__(self, alpha=1.0, fit_intercept=True, max_iter=2000, tol=0.0,
-                 method="fista", dtype=jnp.float32, positive=False):
+                 method="fista", dtype=jnp.float32, positive=False,
+                 warm_start=False):
         super().__init__(alpha=alpha, l1_ratio=1.0, fit_intercept=fit_intercept,
                          max_iter=max_iter, tol=tol, method=method, dtype=dtype,
-                         positive=positive)
+                         positive=positive, warm_start=warm_start)
 
 
 class ElasticNet(_BaseRegressor):
@@ -113,11 +163,11 @@ class ElasticNet(_BaseRegressor):
 
     def __init__(self, alpha=1.0, l1_ratio=0.5, fit_intercept=True,
                  max_iter=2000, tol=0.0, method="fista", dtype=jnp.float32,
-                 positive=False):
+                 positive=False, warm_start=False):
         super().__init__(alpha=alpha, l1_ratio=l1_ratio,
                          fit_intercept=fit_intercept, max_iter=max_iter,
                          tol=tol, method=method, dtype=dtype,
-                         positive=positive)
+                         positive=positive, warm_start=warm_start)
 
 
 class Ridge(_BaseRegressor):

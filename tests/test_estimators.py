@@ -197,3 +197,73 @@ def test_elasticnet_positive_matches_sklearn():
               tol=1e-12).fit(X, y)
     assert (ours.coef_ >= 0).all()
     np.testing.assert_allclose(ours.coef_, sk.coef_, rtol=1e-4, atol=1e-6)
+
+
+def test_lasso_sample_weight_matches_sklearn(rng):
+    from sklearn.linear_model import Lasso as SkLasso
+
+    X, y = _data(rng)
+    w = rng.uniform(0.2, 3.0, size=X.shape[0])
+    sk = SkLasso(alpha=0.05, max_iter=100000, tol=1e-12).fit(X, y, sample_weight=w)
+    est = Lasso(alpha=0.05, max_iter=20000, dtype=jnp.float64).fit(
+        X, y, sample_weight=w
+    )
+    np.testing.assert_allclose(est.coef_, sk.coef_, atol=1e-5)
+    np.testing.assert_allclose(est.intercept_, sk.intercept_, atol=1e-5)
+    # weight invariance under positive rescaling (sklearn property)
+    est2 = Lasso(alpha=0.05, max_iter=20000, dtype=jnp.float64).fit(
+        X, y, sample_weight=7.3 * w
+    )
+    np.testing.assert_allclose(est.coef_, est2.coef_, atol=1e-7)
+
+
+def test_elasticnet_sample_weight_matches_sklearn(rng):
+    from sklearn.linear_model import ElasticNet as SkEN
+
+    X, y = _data(rng)
+    w = rng.uniform(0.0, 2.0, size=X.shape[0])  # some zero weights
+    sk = SkEN(alpha=0.05, l1_ratio=0.6, max_iter=100000, tol=1e-12).fit(
+        X, y, sample_weight=w
+    )
+    est = ElasticNet(alpha=0.05, l1_ratio=0.6, max_iter=20000,
+                     dtype=jnp.float64).fit(X, y, sample_weight=w)
+    np.testing.assert_allclose(est.coef_, sk.coef_, atol=1e-5)
+    np.testing.assert_allclose(est.intercept_, sk.intercept_, atol=1e-5)
+
+
+def test_sample_weight_validation(rng):
+    import pytest
+
+    X, y = _data(rng)
+    with pytest.raises(ValueError):
+        Lasso().fit(X, y, sample_weight=np.ones(3))
+    with pytest.raises(ValueError):
+        Lasso().fit(X, y, sample_weight=-np.ones(X.shape[0]))
+
+
+def test_warm_start_reuses_coefficients(rng):
+    """sklearn warm_start semantics: a refit starts from the previous
+    coefficients — one extra iteration budget suffices near the optimum."""
+    X, y = _data(rng)
+    est = Lasso(alpha=0.05, max_iter=20000, dtype=jnp.float64, warm_start=True)
+    est.fit(X, y)
+    coef_full = est.coef_.copy()
+    # refit with a tiny iteration budget: warm start keeps the solution
+    est.max_iter = 5
+    est.fit(X, y)
+    np.testing.assert_allclose(est.coef_, coef_full, atol=1e-6)
+    # cold start with the same tiny budget is far away
+    cold = Lasso(alpha=0.05, max_iter=5, dtype=jnp.float64).fit(X, y)
+    assert np.abs(cold.coef_ - coef_full).max() > 1e-3
+
+
+def test_warm_start_across_alphas(rng):
+    """Homotopy-style use: decreasing alpha with warm starts converges to the
+    same solution as cold fits."""
+    X, y = _data(rng)
+    warm = Lasso(alpha=0.2, max_iter=20000, dtype=jnp.float64, warm_start=True)
+    for a in (0.2, 0.1, 0.05):
+        warm.alpha = a
+        warm.fit(X, y)
+    cold = Lasso(alpha=0.05, max_iter=20000, dtype=jnp.float64).fit(X, y)
+    np.testing.assert_allclose(warm.coef_, cold.coef_, atol=1e-6)
