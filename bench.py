@@ -66,7 +66,7 @@ def _make_solver(max_iter: int, tol: float):
     def solve(A, b, alpha1):
         return fista_gram_vmem(make_gram_batch_fused(A, b, alpha1, 0.0), cfg)
 
-    return solve
+    return solve, cfg
 
 
 def main():
@@ -82,7 +82,7 @@ def main():
     A, b, alpha1 = _build_problems(key, batch, m)
     A.block_until_ready()
 
-    solve = _make_solver(max_iter, tol)
+    solve, cfg = _make_solver(max_iter, tol)
 
     # warmup/compile
     res = solve(A, b, alpha1)
@@ -119,8 +119,9 @@ def main():
     # solve kernel streams Q + state per certification burst. n=5 pads to
     # n_pad=8 sublanes.
     PEAK_HBM_GBPS = 819.0  # TPU v5e (v5 lite) HBM2 peak
-    n, n_pad = 5, 8
-    bursts = max(1, int(res.n_iters_total) // 25)  # check_every=25
+    n = A.shape[0]  # feature-leading (n, m, B) layout
+    n_pad = -(-max(n, 8) // 8) * 8  # 8-sublane padding (kernels/fista_vmem.py)
+    bursts = max(1, int(res.n_iters_total) // cfg.check_every)
     bytes_build = (n * m + m) * batch * 4
     bytes_solve = bursts * (n_pad * n_pad + 6 * n_pad + 8) * batch * 4
     gbps = (bytes_build + bytes_solve) / dt / 1e9

@@ -1,0 +1,170 @@
+"""Headline-bench ablation harness (real TPU).
+
+Round-2 verdict asked for (a) an explanation of the r01→r02 headline
+regression, (b) the per-tile adaptive kernel as the headline path with
+difficulty-sorted lane tiles. This CLI measures one pipeline variant per
+invocation (ONE TPU process at a time — see CLAUDE.md):
+
+  python -m fastoptsolver_tpu.bench.ablate --mode burst --check-every 25
+  python -m fastoptsolver_tpu.bench.ablate --mode adaptive --sort gap1
+  python -m fastoptsolver_tpu.bench.ablate --mode build-only
+
+Modes
+-----
+- ``burst``     — the r01/r02 headline: fused Gram build + burst-driver
+                  certified solve (kernels/fista_vmem.fista_gram_vmem).
+- ``adaptive``  — fused build + per-tile adaptive kernel
+                  (fista_gram_vmem_adaptive): each 128-lane tile exits at its
+                  own convergence point instead of the global max.
+- ``build-only``— fused Gram build alone (pipeline stage split).
+- ``greedy``/``delta`` — momentum-mode variants of ``burst``.
+
+Sorting (``--sort``), adaptive mode only: instances are difficulty-ordered
+on device before the solve so each tile's lanes converge together and the
+per-tile early exit converts the median-vs-max iteration slack into
+wall-clock. Proxies:
+- ``gap1``  — relative duality gap after one ``check_every``-iteration burst
+              (one extra kernel launch; near-perfect difficulty ordering);
+- ``L``     — per-instance Lipschitz estimate (free, from the build);
+- ``alpha`` — per-instance ℓ₁ weight (free);
+- ``none``  — natural order (each tile's max ≈ global max: no win expected).
+The permutation gather (Q is n_pad²·B·4 B ≈ 16 MB at B=64k) and the proxy
+burst are INCLUDED in the timed path — a real user solves once.
+
+Timing follows bench.py's tunnel methodology: dispatch ``reps`` back-to-back
+solves, force completion with one terminal value fetch, min over trials.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _build(batch, m):
+    from bench import _build_problems  # repo-root bench.py (run from root)
+
+    key = jax.random.PRNGKey(0)
+    A, b, alpha1 = _build_problems(key, batch, m)
+    A.block_until_ready()
+    return A, b, alpha1
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def _gap_after_one_burst(gb, *, chunk: int, interpret: bool = False):
+    """Difficulty proxy: per-lane relative gap after one fixed burst."""
+    from ..batch.fista_gram import BatchFISTAConfig
+    from ..kernels.fista_vmem import fista_gram_vmem
+
+    # one burst, no certification loop: check_every=0 & max_iter=chunk, then
+    # the driver's post-hoc gap — a single kernel launch + one gap pass
+    cfg = BatchFISTAConfig(max_iter=chunk, check_every=0)
+    res = fista_gram_vmem(gb, cfg, interpret=interpret)
+    return res.rel_gap
+
+
+def _permute(gb, order):
+    from ..batch.fista_gram import GramBatch
+
+    return GramBatch(
+        Q=gb.Q[:, :, order], c=gb.c[:, order], btb=gb.btb[order],
+        alpha1=gb.alpha1[order], alpha2=gb.alpha2[order], L=gb.L[order],
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", default="burst",
+                    choices=["burst", "adaptive", "build-only", "greedy",
+                             "delta"])
+    ap.add_argument("--sort", default="none",
+                    choices=["none", "gap1", "L", "alpha"])
+    ap.add_argument("--check-every", type=int, default=25)
+    ap.add_argument("--batch", type=int, default=65536)
+    ap.add_argument("--m", type=int, default=1000)
+    ap.add_argument("--b-tile", type=int, default=None)
+    ap.add_argument("--reps", type=int, default=25)
+    ap.add_argument("--trials", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fos_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from ..batch.fista_gram import BatchFISTAConfig
+    from ..kernels import (
+        fista_gram_vmem,
+        fista_gram_vmem_adaptive,
+        make_gram_batch_fused,
+    )
+
+    A, b, alpha1 = _build(args.batch, args.m)
+
+    kw = {}
+    if args.mode == "delta":
+        kw = dict(momentum="delta", delta=10.0)
+    elif args.mode == "greedy":
+        kw = dict(momentum="greedy")
+    cfg = BatchFISTAConfig(max_iter=1000, check_every=args.check_every,
+                           rel_gap_tol=1e-6, **kw)
+
+    def solve():
+        gb = make_gram_batch_fused(A, b, alpha1, 0.0)
+        if args.mode == "build-only":
+            return gb.Q, None
+        if args.mode == "adaptive":
+            if args.sort != "none":
+                if args.sort == "gap1":
+                    key = _gap_after_one_burst(gb, chunk=args.check_every)
+                elif args.sort == "L":
+                    key = gb.L
+                else:
+                    key = gb.alpha1
+                order = jnp.argsort(key)
+                gbs = _permute(gb, order)
+                res = fista_gram_vmem_adaptive(gbs, cfg, b_tile=args.b_tile)
+                # un-permute converged/iters for accounting (x unused here)
+                inv = jnp.argsort(order)
+                return res.converged[inv], res.iters[inv]
+            res = fista_gram_vmem_adaptive(gb, cfg, b_tile=args.b_tile)
+            return res.converged, res.iters
+        res = fista_gram_vmem(gb, cfg, b_tile=args.b_tile)
+        return res.converged, res.iters
+
+    out = solve()
+    jax.block_until_ready(out)
+
+    totals = []
+    for _ in range(args.trials):
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = solve()
+        conv, iters = out
+        n_conv = args.batch if iters is None else int(jnp.sum(conv))
+        totals.append(time.perf_counter() - t0)
+    dt = min(totals) / args.reps
+
+    rec = {
+        "mode": args.mode,
+        "sort": args.sort,
+        "check_every": args.check_every,
+        "batch": args.batch,
+        "converged": n_conv,
+        "ms": round(dt * 1e3, 3),
+        "inst_per_s_M": round(n_conv / dt / 1e6, 2),
+    }
+    if args.mode != "build-only" and iters is not None:
+        it = np.asarray(iters)
+        rec["iters_median"] = int(np.median(it))
+        rec["iters_mean"] = round(float(it.mean()), 1)
+        rec["iters_max"] = int(it.max())
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
