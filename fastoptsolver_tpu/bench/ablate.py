@@ -145,7 +145,14 @@ def main(argv=None):
         for _ in range(args.reps):
             out = solve()
         conv, iters = out
-        n_conv = args.batch if iters is None else int(jnp.sum(conv))
+        # terminal VALUE fetch forces completion of the whole dispatched
+        # stream (bench.py tunnel methodology — block_until_ready alone
+        # returns early before any value transfer)
+        if iters is None:
+            n_conv = args.batch
+            float(conv[0, 0, 0])
+        else:
+            n_conv = int(jnp.sum(conv))
         totals.append(time.perf_counter() - t0)
     dt = min(totals) / args.reps
 

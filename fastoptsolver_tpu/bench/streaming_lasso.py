@@ -5,7 +5,7 @@ larger than one chip's 16 GB HBM) on a single chip: host-generated row chunks
 stream through the device exactly once, reduced to Q = AᵀA / c = Aᵀb on the
 MXU (problems/streaming.py), then the certified FISTA runs entirely on-device
 at O(n²)/iteration (solvers/gram_dense.py). A is never resident — peak HBM is
-Q + one chunk. Reports the streamed volume, effective host→device GB/s during
+Q + ``prefetch`` chunks. Reports the streamed volume, effective host→device GB/s during
 the pass, and solve iterations/s.
 
 Per-iteration re-streaming (the CUDA-style chunked matvec) would pay the host

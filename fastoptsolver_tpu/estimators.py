@@ -122,7 +122,7 @@ class _BaseRegressor:
             # sklearn warm_start semantics: reuse the previous fit's
             # coefficients as the starting point (the solvers all accept x0)
             x0 = (
-                np.asarray(self.coef_, np.float64)
+                jnp.asarray(self.coef_, self.dtype)
                 if self.warm_start and hasattr(self, "coef_")
                 else None
             )

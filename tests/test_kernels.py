@@ -121,9 +121,13 @@ def test_kernel_larger_n_auto_tile():
     import jax
     from fastoptsolver_tpu.kernels.fista_vmem import auto_b_tile
 
+    import pytest
+
     assert auto_b_tile(8) == 1024
     assert auto_b_tile(64) == 384
-    assert auto_b_tile(128) == 128
+    assert auto_b_tile(104) == 128
+    with pytest.raises(ValueError):  # double-buffered Q exceeds VMEM
+        auto_b_tile(128)
 
     rng = np.random.default_rng(0)
     B, m, n = 12, 300, 20
