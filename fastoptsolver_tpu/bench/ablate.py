@@ -47,12 +47,42 @@ import jax
 import jax.numpy as jnp
 
 
-def _build(batch, m):
+def _build(batch, m, sort_gen=False):
     from bench import _build_problems  # repo-root bench.py (run from root)
 
     key = jax.random.PRNGKey(0)
-    A, b, alpha1 = _build_problems(key, batch, m)
+    if sort_gen:
+        A, b, alpha1 = _build_problems_sorted(key, batch, m)
+    else:
+        A, b, alpha1 = _build_problems(key, batch, m)
     A.block_until_ready()
+    return A, b, alpha1
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "m"))
+def _build_problems_sorted(key, batch: int, m: int):
+    """bench._build_problems with the per-instance noise level SORTED before
+    generation: instances with similar difficulty land in the same lane
+    tiles, so the per-tile adaptive kernel's early exit bites — at ZERO
+    permutation cost (sorting a (B,) parameter vector; a data-side gather of
+    the built Gram costs ~25 ms at B=64k because the instance axis is the
+    minormost/lane dim). The marginals are unchanged (independent draws)."""
+    from fastoptsolver_tpu.problems import generate_scenario_batch_fm
+
+    knoise, kr1, kr2, kgen = jax.random.split(key, 4)
+    noise = jnp.sort(
+        jax.random.choice(knoise, jnp.asarray([0.5, 1.0, 2.0, 5.0]), (batch,))
+    )
+    rho1 = jax.random.choice(kr1, jnp.asarray([0.5, 0.8]), (batch,))
+    rho2 = jax.random.choice(kr2, jnp.asarray([0.7, 0.9]), (batch,))
+    A, b, _ = generate_scenario_batch_fm(
+        kgen, batch, m=m, noise_std=noise, rho1=rho1, rho2=rho2,
+        dtype=jnp.float32,
+    )
+    mu = A.mean(axis=1, keepdims=True)
+    sd = A.std(axis=1, keepdims=True)
+    A = (A - mu) / sd
+    alpha1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", A, b)), axis=0)
     return A, b, alpha1
 
 
@@ -72,8 +102,13 @@ def _gap_after_one_burst(gb, *, chunk: int, interpret: bool = False):
 def _permute(gb, order):
     from ..batch.fista_gram import GramBatch
 
+    # Gather on a MAJOR axis: indexing the minormost (lane) axis directly
+    # costs a cross-lane shuffle per element (measured ~37 ms for the 16 MB
+    # Q at B=64k); moveaxis → row-gather → moveaxis is ~3 copies instead.
+    Qb = jnp.moveaxis(gb.Q, -1, 0)[order]
+    cb = gb.c.T[order]
     return GramBatch(
-        Q=gb.Q[:, :, order], c=gb.c[:, order], btb=gb.btb[order],
+        Q=jnp.moveaxis(Qb, 0, -1), c=cb.T, btb=gb.btb[order],
         alpha1=gb.alpha1[order], alpha2=gb.alpha2[order], L=gb.L[order],
     )
 
@@ -84,13 +119,16 @@ def main(argv=None):
                     choices=["burst", "adaptive", "build-only", "greedy",
                              "delta"])
     ap.add_argument("--sort", default="none",
-                    choices=["none", "gap1", "L", "alpha"])
+                    choices=["none", "gap1", "L", "alpha", "gen"])
     ap.add_argument("--check-every", type=int, default=25)
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--m", type=int, default=1000)
     ap.add_argument("--b-tile", type=int, default=None)
+    ap.add_argument("--pl-iters", type=int, default=96)
     ap.add_argument("--reps", type=int, default=25)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--restart", action="store_true",
+                    help="nesterov + in-kernel adaptive restart")
     args = ap.parse_args(argv)
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fos_bench_cache")
@@ -103,22 +141,24 @@ def main(argv=None):
         make_gram_batch_fused,
     )
 
-    A, b, alpha1 = _build(args.batch, args.m)
+    A, b, alpha1 = _build(args.batch, args.m, sort_gen=args.sort == "gen")
 
     kw = {}
     if args.mode == "delta":
         kw = dict(momentum="delta", delta=10.0)
     elif args.mode == "greedy":
         kw = dict(momentum="greedy")
+    if args.restart:
+        kw["adaptive_restart"] = True
     cfg = BatchFISTAConfig(max_iter=1000, check_every=args.check_every,
                            rel_gap_tol=1e-6, **kw)
 
     def solve():
-        gb = make_gram_batch_fused(A, b, alpha1, 0.0)
+        gb = make_gram_batch_fused(A, b, alpha1, 0.0, pl_iters=args.pl_iters)
         if args.mode == "build-only":
             return gb.Q, None
         if args.mode == "adaptive":
-            if args.sort != "none":
+            if args.sort not in ("none", "gen"):  # gen sorts at generation
                 if args.sort == "gap1":
                     key = _gap_after_one_burst(gb, chunk=args.check_every)
                 elif args.sort == "L":

@@ -77,7 +77,7 @@ def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
                        a1_ref, btb_ref, X_ref, Y_ref, *rest,
                        n_pad: int, n_steps: int, with_gap: bool,
                        restart_threshold: float | None,
-                       greedy: tuple | None = None):
+                       greedy: tuple | None = None, n_true: int | None = None):
     """Run ``n_steps`` FISTA iterations for one (n_pad, B_TILE) tile.
 
     ``beta_ref``: scalar-prefetched (max_iter,) momentum table; ``k0_ref``:
@@ -119,9 +119,14 @@ def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
     c = c_ref[:]
     k0 = k0_ref[0]
 
+    n_mv = n_pad if n_true is None else n_true
+
     def matvec(V):
+        # static unroll over the TRUE feature count: Q's padded planes are
+        # zero, so skipping them drops 1 - n/n_pad of the hot-loop FMAs
+        # (37% at the bench's n=5 / n_pad=8)
         out = jnp.zeros_like(V)
-        for j in range(n_pad):  # static unroll: n_pad (8, BT)-wide FMAs
+        for j in range(n_mv):
             out += Q[j] * V[j : j + 1, :]
         return out
 
@@ -233,7 +238,7 @@ def momentum_betas(k0: int, n_steps: int, t0: float, cfg: BatchFISTAConfig):
 
 def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, t, ps, taumin=None,
            *, n_pad, b_tile, n_steps, interpret, with_gap=False,
-           restart_threshold=None, greedy=None):
+           restart_threshold=None, greedy=None, n_true=None):
     """One kernel launch advancing every tile by ``n_steps`` iterations.
 
     Returns ``(X, Y, t, ps, gap)`` — ``t``/``ps`` are the per-lane state rows
@@ -245,7 +250,7 @@ def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, t, ps, taumin=None,
     stateful = (restart_threshold is not None) or (greedy is not None)
     kern = functools.partial(
         _fista_tile_kernel, n_pad=n_pad, n_steps=n_steps, with_gap=with_gap,
-        restart_threshold=restart_threshold, greedy=greedy,
+        restart_threshold=restart_threshold, greedy=greedy, n_true=n_true,
     )
     vec = lambda r: pl.BlockSpec(
         (r, b_tile), lambda i, *prefetch: (0, i), memory_space=pltpu.VMEM
@@ -332,11 +337,12 @@ class _VmemState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("n_pad", "b_tile", "chunk", "n_bursts", "tol",
-                     "interpret", "certify", "restart_threshold", "greedy"),
+                     "interpret", "certify", "restart_threshold", "greedy",
+                     "n_true"),
 )
 def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, taumin, *,
                      n_pad, b_tile, chunk, n_bursts, tol, interpret, certify,
-                     restart_threshold=None, greedy=None):
+                     restart_threshold=None, greedy=None, n_true=None):
     """The full certified solve as one device program (single host sync)."""
     B = Q.shape[-1]
     dtype = Q.dtype
@@ -349,7 +355,7 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, taumin, *,
             a1row, btbrow, state.X, state.Y, state.t, state.ps, taumin,
             n_pad=n_pad, b_tile=b_tile, n_steps=chunk, interpret=interpret,
             with_gap=certify, restart_threshold=restart_threshold,
-            greedy=greedy,
+            greedy=greedy, n_true=n_true,
         )
         k = state.k + chunk
         if not certify:
@@ -493,7 +499,7 @@ def fista_gram_vmem(
         "interpret", "certify", "t_init_factor", "restart_threshold",
         "greedy",
     ),
-)
+)  # n_true derived from pn inside (n = n_pad - pn)
 def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
                    b_tile, chunk, n_bursts, tol, interpret, certify,
                    t_init_factor, restart_threshold=None,
@@ -516,7 +522,7 @@ def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
         betas, Q, c, btb, alpha1, alpha2, tau, thr, a2, taumin,
         n_pad=n_pad, b_tile=b_tile, chunk=chunk, n_bursts=n_bursts,
         tol=tol, interpret=interpret, certify=certify,
-        restart_threshold=restart_threshold, greedy=greedy,
+        restart_threshold=restart_threshold, greedy=greedy, n_true=n,
     )
     sl = slice(0, B_orig)
     failed = ~jnp.all(jnp.isfinite(state.X[:, sl]), axis=0)
@@ -562,6 +568,7 @@ def fista_gram_vmem_sharded(
     if b_tile is None:
         b_tile = auto_b_tile(_round_up(max(gb.c.shape[0], SUBLANE), SUBLANE))
     # pad so every device's shard is a whole number of lane tiles
+    n_true = gb.c.shape[0]
     gbp, B_orig = _pad_batch(gb, min(b_tile, LANE) * n_dev)
     n_pad, B = gbp.c.shape
     b_tile = min(b_tile, B // n_dev)
@@ -587,7 +594,7 @@ def fista_gram_vmem_sharded(
                 a1row, btbrow, s.X, s.Y, s.t, s.ps, taumin,
                 n_pad=n_pad, b_tile=b_tile, n_steps=chunk, interpret=interpret,
                 with_gap=True, restart_threshold=restart_threshold,
-                greedy=greedy,
+                greedy=greedy, n_true=n_true,
             )
             k = s.k + chunk
             g = gvec[0]
@@ -667,7 +674,8 @@ def _fista_tile_kernel_adaptive(beta_ref, Q_ref, c_ref, tau_ref, thr_ref,
                                 n_pad: int, chunk: int,
                                 n_bursts: int, tol: float,
                                 restart_threshold: float | None,
-                                greedy: tuple | None = None):
+                                greedy: tuple | None = None,
+                                n_true: int | None = None):
     """The ENTIRE certified solve for one (n_pad, B_TILE) tile in one kernel
     launch: a while loop alternates ``chunk``-iteration bursts with the
     in-kernel duality-gap check, exiting as soon as THIS TILE's lanes are all
@@ -693,9 +701,11 @@ def _fista_tile_kernel_adaptive(beta_ref, Q_ref, c_ref, tau_ref, thr_ref,
     Q = Q_ref[:]
     c = c_ref[:]
 
+    n_mv = n_pad if n_true is None else n_true
+
     def matvec(V):
         out = jnp.zeros_like(V)
-        for j in range(n_pad):
+        for j in range(n_mv):  # true feature count — padded planes are zero
             out += Q[j] * V[j : j + 1, :]
         return out
 
@@ -802,6 +812,7 @@ def _solve_adaptive(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
                     b_tile, chunk, n_bursts, tol, interpret,
                     t_init_factor, restart_threshold=None,
                     greedy=None) -> BatchResult:
+    # true feature count (pre-pad) drives the kernels' matvec unroll
     n, B_orig = c.shape
     if pn or pB:
         Q = jnp.pad(Q, ((0, pn), (0, pn), (0, pB)))
@@ -822,7 +833,7 @@ def _solve_adaptive(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
     kern = functools.partial(
         _fista_tile_kernel_adaptive, n_pad=n_pad, chunk=chunk,
         n_bursts=n_bursts, tol=tol, restart_threshold=restart_threshold,
-        greedy=greedy,
+        greedy=greedy, n_true=n,
     )
     vec = lambda r: pl.BlockSpec(
         (r, b_tile), lambda i, *prefetch: (0, i), memory_space=pltpu.VMEM

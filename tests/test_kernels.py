@@ -505,3 +505,21 @@ def test_kernel_rejects_backtracking():
     mesh = make_mesh(batch=2, model=1, devices=jax.devices()[:2])
     with pytest.raises(NotImplementedError):
         fista_gram_vmem_sharded(gb, mesh, cfg, interpret=True)
+
+
+def test_fused_build_nonmultiple_rows():
+    """m not a sublane multiple: zero-row padding leaves the Gram unchanged."""
+    from fastoptsolver_tpu.kernels import make_gram_batch_fused
+
+    rng = np.random.default_rng(3)
+    n, m, B = 5, 77, 128  # m % 8 = 5
+    Afm = jnp.asarray(rng.normal(size=(n, m, B)), jnp.float32)
+    bfm = jnp.asarray(rng.normal(size=(m, B)), jnp.float32)
+    gb = make_gram_batch_fused(Afm, bfm, alpha1=0.5, alpha2=0.0, interpret=True)
+    gb0 = make_gram_batch(
+        jnp.transpose(Afm, (2, 1, 0)), jnp.transpose(bfm, (1, 0)),
+        alpha1=0.5, alpha2=0.0,
+    )
+    np.testing.assert_allclose(np.asarray(gb.Q), np.asarray(gb0.Q), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb.c), np.asarray(gb0.c), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb.btb), np.asarray(gb0.btb), rtol=1e-5)
