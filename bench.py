@@ -64,7 +64,12 @@ def _make_solver(max_iter: int, tol: float):
     cfg = BatchFISTAConfig(max_iter=max_iter, check_every=25, rel_gap_tol=tol)
 
     def solve(A, b, alpha1):
-        return fista_gram_vmem(make_gram_batch_fused(A, b, alpha1, 0.0), cfg)
+        # pl_iters=32: interleaved A/B ablation (bench/ablate.py, RESULTS.md)
+        # shows 96→32 power iterations saves ~2% wall-clock with every
+        # instance still certified (v0=c warm start + 1.02 L safety margin)
+        return fista_gram_vmem(
+            make_gram_batch_fused(A, b, alpha1, 0.0, pl_iters=32), cfg
+        )
 
     return solve, cfg
 

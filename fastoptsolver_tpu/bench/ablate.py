@@ -124,7 +124,11 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--m", type=int, default=1000)
     ap.add_argument("--b-tile", type=int, default=None)
-    ap.add_argument("--pl-iters", type=int, default=96)
+    ap.add_argument("--pl-iters", type=str, default="96",
+                    help="power-iteration depth, optionally 'pl:build_tile' "
+                         "pairs; a comma list interleaves the configs within "
+                         "ONE process (A/B/A/B trials) — separate processes "
+                         "differ by ±25% on this tunnel")
     ap.add_argument("--reps", type=int, default=25)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--restart", action="store_true",
@@ -153,64 +157,82 @@ def main(argv=None):
     cfg = BatchFISTAConfig(max_iter=1000, check_every=args.check_every,
                            rel_gap_tol=1e-6, **kw)
 
-    def solve():
-        gb = make_gram_batch_fused(A, b, alpha1, 0.0, pl_iters=args.pl_iters)
-        if args.mode == "build-only":
-            return gb.Q, None
-        if args.mode == "adaptive":
-            if args.sort not in ("none", "gen"):  # gen sorts at generation
-                if args.sort == "gap1":
-                    key = _gap_after_one_burst(gb, chunk=args.check_every)
-                elif args.sort == "L":
-                    key = gb.L
-                else:
-                    key = gb.alpha1
-                order = jnp.argsort(key)
-                gbs = _permute(gb, order)
-                res = fista_gram_vmem_adaptive(gbs, cfg, b_tile=args.b_tile)
-                # un-permute converged/iters for accounting (x unused here)
-                inv = jnp.argsort(order)
-                return res.converged[inv], res.iters[inv]
-            res = fista_gram_vmem_adaptive(gb, cfg, b_tile=args.b_tile)
+    def make_solve(key):
+        pl_iters, build_tile = key
+        def solve():
+            gb = make_gram_batch_fused(A, b, alpha1, 0.0, pl_iters=pl_iters,
+                                       b_tile=build_tile)
+            if args.mode == "build-only":
+                return gb.Q, None
+            if args.mode == "adaptive":
+                if args.sort not in ("none", "gen"):  # gen sorts at generation
+                    if args.sort == "gap1":
+                        key = _gap_after_one_burst(gb, chunk=args.check_every)
+                    elif args.sort == "L":
+                        key = gb.L
+                    else:
+                        key = gb.alpha1
+                    order = jnp.argsort(key)
+                    gbs = _permute(gb, order)
+                    res = fista_gram_vmem_adaptive(gbs, cfg, b_tile=args.b_tile)
+                    # un-permute converged/iters for accounting (x unused)
+                    inv = jnp.argsort(order)
+                    return res.converged[inv], res.iters[inv]
+                res = fista_gram_vmem_adaptive(gb, cfg, b_tile=args.b_tile)
+                return res.converged, res.iters
+            res = fista_gram_vmem(gb, cfg, b_tile=args.b_tile)
             return res.converged, res.iters
-        res = fista_gram_vmem(gb, cfg, b_tile=args.b_tile)
-        return res.converged, res.iters
+        return solve
 
-    out = solve()
-    jax.block_until_ready(out)
+    def parse(v):
+        if ":" in v:
+            a, t = v.split(":")
+            return int(a), int(t)
+        return int(v), 256  # make_gram_batch_fused default tile
+    pl_list = [parse(v) for v in args.pl_iters.split(",")]
+    solvers = {pl: make_solve(pl) for pl in pl_list}
+    for s in solvers.values():  # warm/compile every config first
+        jax.block_until_ready(s())
 
-    totals = []
+    results = {pl: [] for pl in pl_list}
+    finals = {}
     for _ in range(args.trials):
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            out = solve()
-        conv, iters = out
-        # terminal VALUE fetch forces completion of the whole dispatched
-        # stream (bench.py tunnel methodology — block_until_ready alone
-        # returns early before any value transfer)
-        if iters is None:
-            n_conv = args.batch
-            float(conv[0, 0, 0])
-        else:
-            n_conv = int(jnp.sum(conv))
-        totals.append(time.perf_counter() - t0)
-    dt = min(totals) / args.reps
+        for pl, s in solvers.items():  # interleaved A/B trials
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                out = s()
+            conv, iters = out
+            # terminal VALUE fetch forces completion of the dispatched
+            # stream (bench.py tunnel methodology — block_until_ready alone
+            # returns early before any value transfer)
+            if iters is None:
+                n_conv = args.batch
+                float(conv[0, 0, 0])
+            else:
+                n_conv = int(jnp.sum(conv))
+            results[pl].append(time.perf_counter() - t0)
+            finals[pl] = (n_conv, iters)
 
-    rec = {
-        "mode": args.mode,
-        "sort": args.sort,
-        "check_every": args.check_every,
-        "batch": args.batch,
-        "converged": n_conv,
-        "ms": round(dt * 1e3, 3),
-        "inst_per_s_M": round(n_conv / dt / 1e6, 2),
-    }
-    if args.mode != "build-only" and iters is not None:
-        it = np.asarray(iters)
-        rec["iters_median"] = int(np.median(it))
-        rec["iters_mean"] = round(float(it.mean()), 1)
-        rec["iters_max"] = int(it.max())
-    print(json.dumps(rec))
+    for pl in pl_list:
+        dt = min(results[pl]) / args.reps
+        n_conv, iters = finals[pl]
+        rec = {
+            "mode": args.mode,
+            "sort": args.sort,
+            "check_every": args.check_every,
+            "pl_iters": pl[0],
+            "build_tile": pl[1],
+            "batch": args.batch,
+            "converged": n_conv,
+            "ms": round(dt * 1e3, 3),
+            "inst_per_s_M": round(n_conv / dt / 1e6, 2),
+        }
+        if args.mode != "build-only" and iters is not None:
+            it = np.asarray(iters)
+            rec["iters_median"] = int(np.median(it))
+            rec["iters_mean"] = round(float(it.mean()), 1)
+            rec["iters_max"] = int(it.max())
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":
