@@ -66,9 +66,14 @@ def _make_solver(max_iter: int, tol: float):
     def solve(A, b, alpha1):
         # pl_iters=32: interleaved A/B ablation (bench/ablate.py, RESULTS.md)
         # shows 96→32 power iterations saves ~2% wall-clock with every
-        # instance still certified (v0=c warm start + 1.02 L safety margin)
+        # instance still certified (v0=c warm start + 1.02 L safety margin).
+        # split_k=4: fold the m-reduction 4-ways into FMA-shaped chains
+        # before the tree sum — the build stage's multiply+reduce is the
+        # measured binding resource; every split ∈ {2,4,5,8} beat split=1 in
+        # interleaved A/B (best observed −36%; see RESULTS.md round 3).
         return fista_gram_vmem(
-            make_gram_batch_fused(A, b, alpha1, 0.0, pl_iters=32), cfg
+            make_gram_batch_fused(A, b, alpha1, 0.0, pl_iters=32, split_k=4),
+            cfg,
         )
 
     return solve, cfg

@@ -20,6 +20,25 @@ TPU-first:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# TPU MXU matmuls default to truncating f32 operands to bf16 (~4e-3 relative
+# error). For a library whose contract is *certified* solves (duality gap ≤
+# 1e-6), that default is wrong everywhere: measured on a v5e, the batched
+# FISTA driver's gradient matvec Q·x silently dropped to bf16 once n was wide
+# enough for XLA to pick the MXU (n ≥ ~64), flooring the achievable gap at
+# ~4e-2 while the identical math at n = 5 (VPU, true f32) certified fine
+# (bench/verify_tpu.py wide_n cases; round-3 finding — same class as the
+# round-2 Gram-precompute bug). Hot paths also annotate their einsums with
+# Precision.HIGHEST explicitly; this global sets the correct default for
+# everything else (problem-protocol matvecs, gap checks, user code built on
+# the library). Opt out / override with FOS_MATMUL_PRECISION=default|bfloat16|…
+_prec = _os.environ.get("FOS_MATMUL_PRECISION", "highest")
+if _prec != "default":
+    _jax.config.update("jax_default_matmul_precision", _prec)
+
 from . import batch, kernels, ops, parallel, problems, runtime, solvers, utils
 from .api import solve
 from .estimators import (

@@ -34,6 +34,13 @@ from jax import Array
 
 from ..ops.prox import soft_threshold
 
+# Every Q·x in the iteration/certification path must be true f32: the TPU MXU
+# default truncates f32 operands to bf16, which floors the achievable duality
+# gap at ~4e-2 once XLA routes the contraction to the MXU (wide n). The
+# package __init__ sets the global default, but these einsums define the
+# solver's correctness, so they pin it explicitly.
+_HI = jax.lax.Precision.HIGHEST
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -75,7 +82,7 @@ def _batched_power_L(Q: Array, v0: Array, n_iter: int, tol: float) -> Array:
         return (s.k < n_iter) & jnp.any(jnp.abs(s.L - s.prev) >= tol)
 
     def body(s: S):
-        w = jnp.einsum("ijb,jb->ib", Q, s.v)
+        w = jnp.einsum("ijb,jb->ib", Q, s.v, precision=_HI)
         L = norm(w)
         v = w / jnp.maximum(L, 1e-30)
         return S(v=v, L=L, prev=s.L, k=s.k + 1)
@@ -188,7 +195,7 @@ class BatchResult(NamedTuple):
 def _rel_gap(gb: GramBatch, X: Array) -> Array:
     """Batched relative duality gap (see ops/gap.py for the derivation),
     feature-major. One extra Gram matvec per check."""
-    QX = jnp.einsum("ijb,jb->ib", gb.Q, X)
+    QX = jnp.einsum("ijb,jb->ib", gb.Q, X, precision=_HI)
     xQx = jnp.sum(X * QX, axis=0)
     cx = jnp.sum(gb.c * X, axis=0)
     xx = jnp.sum(X * X, axis=0)
@@ -214,7 +221,7 @@ def _iterate_block(gb: GramBatch, cfg: BatchFISTAConfig, state: BatchState,
     tau_min = (1.0 / gb.L).astype(gb.c.dtype)  # greedy shrink floor
 
     def one(_, s: BatchState) -> BatchState:
-        QY = jnp.einsum("ijb,jb->ib", gb.Q, s.Y)
+        QY = jnp.einsum("ijb,jb->ib", gb.Q, s.Y, precision=_HI)
         grad = QY - gb.c + gb.alpha2 * s.Y
         if cfg.backtracking:
             # masked per-lane Armijo (reference iterative_solvers.py:183-197;
@@ -230,7 +237,7 @@ def _iterate_block(gb: GramBatch, cfg: BatchFISTAConfig, state: BatchState,
 
             def trial(tau):
                 Xc = soft_threshold(s.Y - tau * grad, tau * gb.alpha1)
-                QX = jnp.einsum("ijb,jb->ib", gb.Q, Xc)
+                QX = jnp.einsum("ijb,jb->ib", gb.Q, Xc, precision=_HI)
                 g_x = (
                     0.5 * jnp.sum(Xc * QX, axis=0)
                     - jnp.sum(gb.c * Xc, axis=0)

@@ -125,7 +125,7 @@ def main(argv=None):
     ap.add_argument("--m", type=int, default=1000)
     ap.add_argument("--b-tile", type=int, default=None)
     ap.add_argument("--pl-iters", type=str, default="96",
-                    help="power-iteration depth, optionally 'pl:build_tile' "
+                    help="power-iteration depth, 'pl[:build_tile[:split_k]]' "
                          "pairs; a comma list interleaves the configs within "
                          "ONE process (A/B/A/B trials) — separate processes "
                          "differ by ±25% on this tunnel")
@@ -158,10 +158,10 @@ def main(argv=None):
                            rel_gap_tol=1e-6, **kw)
 
     def make_solve(key):
-        pl_iters, build_tile = key
+        pl_iters, build_tile, split_k = key
         def solve():
             gb = make_gram_batch_fused(A, b, alpha1, 0.0, pl_iters=pl_iters,
-                                       b_tile=build_tile)
+                                       b_tile=build_tile, split_k=split_k)
             if args.mode == "build-only":
                 return gb.Q, None
             if args.mode == "adaptive":
@@ -185,10 +185,11 @@ def main(argv=None):
         return solve
 
     def parse(v):
-        if ":" in v:
-            a, t = v.split(":")
-            return int(a), int(t)
-        return int(v), 256  # make_gram_batch_fused default tile
+        parts = [int(x) for x in v.split(":")]
+        # pl_iters[:build_tile[:split_k]] — defaults 256 / 1
+        return (parts[0],
+                parts[1] if len(parts) > 1 else 256,
+                parts[2] if len(parts) > 2 else 1)
     pl_list = [parse(v) for v in args.pl_iters.split(",")]
     solvers = {pl: make_solve(pl) for pl in pl_list}
     for s in solvers.values():  # warm/compile every config first
@@ -222,6 +223,7 @@ def main(argv=None):
             "check_every": args.check_every,
             "pl_iters": pl[0],
             "build_tile": pl[1],
+            "split_k": pl[2],
             "batch": args.batch,
             "converged": n_conv,
             "ms": round(dt * 1e3, 3),

@@ -171,7 +171,26 @@ def run() -> dict:
         ),
     )
 
-    # 8. wide problems at the auto-tiled feature ceiling (certified solves)
+    # 8. wide problems at the auto-tiled feature ceiling (certified solves).
+    # The contract at wide n: BOTH the XLA driver and the Mosaic kernel
+    # certify, their certificates survive an independent float64 NumPy
+    # recomputation from (A, b) (this is what caught the round-3
+    # default-matmul-precision bug: the driver's Q·x silently dropped to
+    # bf16 on the MXU at n ≥ 64 and its true gap floored at ~4e-2), and the
+    # two solutions agree in objective value. Raw-x allclose is NOT asserted
+    # at wide n: two correctly certified solves may differ by O(√(gap/λmin))
+    # per coordinate on these ill-conditioned Grams.
+    def _f64_gap_obj(A, b, a1, X):
+        A64, b64 = np.asarray(A, np.float64), np.asarray(b, np.float64)
+        a64, X64 = np.asarray(a1, np.float64), np.asarray(X, np.float64)
+        r = np.einsum("bmn,bn->bm", A64, X64) - b64
+        p = 0.5 * np.sum(r * r, 1) + a64 * np.abs(X64).sum(1)
+        s = np.max(np.abs(np.einsum("bmn,bm->bn", A64, r)), axis=1)
+        scale = np.minimum(1.0, a64 / np.maximum(s, 1e-300))
+        u = scale[:, None] * r
+        d = -0.5 * np.sum(u * u, 1) - np.sum(u * b64, 1)
+        return (p - d) / np.maximum(p, 1.0), p
+
     for n_wide in (20, 64, 96):
         rngw = np.random.default_rng(n_wide)
         Bw, mw = 256, 4 * n_wide
@@ -184,12 +203,21 @@ def run() -> dict:
         cfg_w = BatchFISTAConfig(max_iter=2000, check_every=50, rel_gap_tol=5e-6)
         ref_w = fista_gram_batch(gbw, cfg_w)
         got_w = fista_gram_vmem(gbw, cfg_w, interpret=False)  # auto b_tile
+        gap_ref, obj_ref = _f64_gap_obj(Aw, bw, a1w, ref_w.x)
+        gap_got, obj_got = _f64_gap_obj(Aw, bw, a1w, got_w.x)
 
-        def _wide(ref_w=ref_w, got_w=got_w):
-            assert bool(np.asarray(got_w.converged).all()), "wide not certified"
-            np.testing.assert_allclose(
-                np.asarray(got_w.x), np.asarray(ref_w.x), rtol=2e-3, atol=2e-4
-            )
+        def _wide(ref_w=ref_w, got_w=got_w, gap_ref=gap_ref,
+                  gap_got=gap_got, obj_ref=obj_ref, obj_got=obj_got):
+            assert bool(np.asarray(ref_w.converged).all()), "driver not certified"
+            assert bool(np.asarray(got_w.converged).all()), "kernel not certified"
+            # f64 recheck: certificates must be real, not self-consistent lies
+            # (tolerance 4× the solve tol: the Gram-form gap the solver
+            # certifies and the (A, b)-form gap recomputed here differ by f32
+            # Gram rounding)
+            assert gap_ref.max() <= 4 * 5e-6, f"driver f64 gap {gap_ref.max():.2e}"
+            assert gap_got.max() <= 4 * 5e-6, f"kernel f64 gap {gap_got.max():.2e}"
+            rel_obj = np.abs(obj_ref - obj_got) / np.maximum(obj_ref, 1.0)
+            assert rel_obj.max() <= 1e-4, f"objective mismatch {rel_obj.max():.2e}"
 
         check(f"wide_n{n_wide}", _wide)
 
