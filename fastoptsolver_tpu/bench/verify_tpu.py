@@ -14,7 +14,10 @@ pure-XLA batched driver (batch/fista_gram.py) at small shapes:
   6. fused Gram-build kernel vs the XLA einsum precompute
   7. in-kernel greedy momentum trajectory (per-lane τ state rows)
   8. wide problems at the kernel's feature ceiling (n = 20 / 64 / 96,
-     auto-tiled — round-2 verdict: never Mosaic-compiled above n=5 before)
+     auto-tiled — round-2 verdict: never Mosaic-compiled above n=5 before;
+     three checks, each asserting both paths certified + certificates
+     revalidated in independent float64 + objectives equal — this is the
+     check that caught the round-3 default-matmul-precision bug)
   9. shard_map × Mosaic composition: the sharded kernel with
      ``interpret=False`` on a 1-device mesh (previously interpreter-only)
  10. df32 error-free transforms on the TPU backend (ops/df32.py — the CPU

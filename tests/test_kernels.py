@@ -221,6 +221,36 @@ def test_fused_build_matches_xla_gram():
     assert np.all(ratio > 0.9) and np.all(ratio < 1.1), (ratio.min(), ratio.max())
 
 
+def test_fused_build_split_k_matches_plain_and_f64():
+    """split_k folds the m-reduction into FMA-shaped chains (the headline
+    build-kernel optimization, RESULTS.md round 3); every split must agree
+    with the plain tree reduction and with a float64 ground truth, and a
+    non-divisible m must silently fall back to split_k=1."""
+    from fastoptsolver_tpu.kernels import make_gram_batch_fused
+
+    rng = np.random.default_rng(3)
+    n, m, B = 5, 120, 256
+    Afm = jnp.asarray(rng.normal(size=(n, m, B)), jnp.float32)
+    bfm = jnp.asarray(rng.normal(size=(m, B)), jnp.float32)
+    A64 = np.asarray(Afm, np.float64)
+    Q64 = np.einsum("imb,jmb->ijb", A64, A64)
+    c64 = np.einsum("imb,mb->ib", A64, np.asarray(bfm, np.float64))
+
+    base = make_gram_batch_fused(Afm, bfm, 0.5, 0.1, interpret=True)
+    for k in (2, 4, 8):
+        gb = make_gram_batch_fused(Afm, bfm, 0.5, 0.1, interpret=True,
+                                   split_k=k)
+        np.testing.assert_allclose(np.asarray(gb.Q), Q64, rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gb.c), c64, rtol=1e-5, atol=1e-3)
+        # L: same power iteration on (rounding-level) different Grams — the
+        # estimates may jitter a little; the 1.02 safety margin dwarfs it
+        ratio = np.asarray(gb.L) / np.asarray(base.L)
+        assert np.all(ratio > 0.999) and np.all(ratio < 1.001)
+    # m=120 not divisible by 7: falls back to plain reduction, still exact
+    gb7 = make_gram_batch_fused(Afm, bfm, 0.5, 0.1, interpret=True, split_k=7)
+    np.testing.assert_allclose(np.asarray(gb7.Q), Q64, rtol=1e-5, atol=1e-3)
+
+
 def test_fused_build_nonmultiple_batch_and_end_to_end():
     from fastoptsolver_tpu.kernels import make_gram_batch_fused
 
