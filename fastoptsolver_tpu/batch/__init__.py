@@ -1,4 +1,5 @@
-from .api import stack_problems, solve_batch, batch_lipschitz
+from .api import (stack_problems, solve_batch, solve_gram_batch,
+                  solve_lasso_batch, batch_lipschitz)
 from .fista_gram import fista_gram_batch, GramBatch, make_gram_batch, init_batch_state
 from .path import lasso_path, alpha_ladder, alpha_max_for, path_gram_batch
 from .cv import cv_lasso, CVResult
@@ -8,6 +9,8 @@ __all__ = [
     "CVResult",
     "stack_problems",
     "solve_batch",
+    "solve_gram_batch",
+    "solve_lasso_batch",
     "batch_lipschitz",
     "fista_gram_batch",
     "GramBatch",

@@ -43,6 +43,117 @@ def batch_lipschitz(problem_batch, key=None, n_iter: int = 100, tol: float = 1e-
     )
 
 
+def solve_gram_batch(gb, cfg=None, backend: str = "auto",
+                     interpret: bool = False):
+    """Route a prebuilt ``GramBatch`` to its fastest supported solver.
+
+    ``"auto"``: the VMEM-resident certified kernel
+    (kernels/fista_vmem.fista_gram_vmem) when on TPU (or ``interpret``), the
+    padded feature count fits the ~104-feature VMEM ceiling, and the config
+    is kernel-supported (backtracking is XLA-driver-only); otherwise the XLA
+    driver (``fista_gram_batch``). ``"kernel"`` forces the Pallas path
+    (raises if unsupported); ``"xla"`` forces the driver."""
+    from .fista_gram import BatchFISTAConfig, fista_gram_batch
+
+    if backend not in ("auto", "kernel", "xla"):
+        raise ValueError(f"Unknown backend '{backend}'")
+    if cfg is None:
+        cfg = BatchFISTAConfig(max_iter=1000, check_every=25, rel_gap_tol=1e-6)
+
+    if backend != "xla":
+        from ..kernels.fista_vmem import auto_b_tile
+
+        n = gb.dim
+        n_pad = -(-max(n, 8) // 8) * 8
+        try:
+            auto_b_tile(n_pad)
+            fits = True
+        except ValueError:
+            fits = False
+        supported = fits and not cfg.backtracking
+        if backend == "kernel" and not supported:
+            raise ValueError(
+                "backend='kernel' unsupported here: "
+                + ("backtracking runs on the XLA driver"
+                   if cfg.backtracking
+                   else f"n={n} exceeds the VMEM kernel ceiling (~104)")
+            )
+        if backend == "kernel" or (
+            supported and (jax.default_backend() == "tpu" or interpret)
+        ):
+            from ..kernels import fista_gram_vmem
+
+            return fista_gram_vmem(gb, cfg, interpret=interpret)
+    return fista_gram_batch(gb, cfg)
+
+
+def solve_lasso_batch(
+    A,
+    b,
+    alpha1,
+    alpha2=0.0,
+    cfg=None,
+    backend: str = "auto",
+    feature_major: bool = False,
+    key=None,
+    interpret: bool = False,
+):
+    """One call from raw ``(A, b, α)`` to certified batched lasso solutions,
+    routed to the fastest execution path the configuration supports.
+
+    This is the library-surface version of what ``bench.py`` hand-wires: the
+    headline throughput (RESULTS.md) should not require knowing the kernel
+    module layout. Routing, in order:
+
+    - **Gram build**: the fused one-pass Pallas kernel
+      (kernels/gram_build.py) when the features fit its ≤7-column augmented
+      tile and the kernel backend is selected; otherwise the XLA einsum
+      precompute (``make_gram_batch``, ``Precision.HIGHEST``).
+    - **Solve**: the VMEM-resident certified kernel
+      (kernels/fista_vmem.fista_gram_vmem) when on TPU (or ``interpret``),
+      the padded feature count fits the ~104-feature VMEM ceiling
+      (``auto_b_tile``), and the config is kernel-supported (backtracking is
+      XLA-driver-only); otherwise the XLA driver
+      (``fista_gram_batch`` — same math, HBM-streamed).
+
+    ``backend``: ``"auto"`` (route as above), ``"kernel"`` (force the Pallas
+    path; raises if unsupported), ``"xla"`` (force the driver).
+    ``feature_major``: inputs are ``A (n, m, B), b (m, B)`` (the framework's
+    native layout — avoids a transpose pass); otherwise ``A (B, m, n),
+    b (B, m)``. Returns a ``BatchResult``.
+    """
+    from .fista_gram import BatchFISTAConfig, make_gram_batch
+
+    if backend not in ("auto", "kernel", "xla"):
+        raise ValueError(f"Unknown backend '{backend}'")
+    if cfg is None:
+        cfg = BatchFISTAConfig(max_iter=1000, check_every=25, rel_gap_tol=1e-6)
+
+    n = A.shape[0] if feature_major else A.shape[-1]
+
+    use_fused_build = False
+    if backend != "xla" and n + 1 <= 8 and not cfg.backtracking:
+        use_fused_build = jax.default_backend() == "tpu" or interpret or (
+            backend == "kernel"
+        )
+
+    # Gram build: the fused kernel needs feature-leading input and n+1 <= 8.
+    if use_fused_build:
+        from ..kernels import make_gram_batch_fused
+
+        A_fm = A if feature_major else jnp.transpose(A, (2, 1, 0))
+        b_fm = b if feature_major else jnp.transpose(b, (1, 0))
+        gb = make_gram_batch_fused(
+            A_fm, b_fm, alpha1, alpha2, split_k=4, interpret=interpret
+        )
+    else:
+        A_im = jnp.transpose(A, (2, 1, 0)) if feature_major else A
+        b_im = jnp.transpose(b, (1, 0)) if feature_major else b
+        gb = make_gram_batch(A_im, b_im, alpha1, alpha2, key=key)
+
+    return solve_gram_batch(gb, cfg, backend=backend, interpret=interpret)
+
+
 def solve_batch(
     problem_batch,
     method: str = "fista",

@@ -325,3 +325,84 @@ def test_gram_batch_backtracking_rejects_greedy():
 
     with pytest.raises(ValueError):
         BatchFISTAConfig(backtracking=True, momentum="greedy")
+
+
+# ---------------------------------------------------------------------------
+# solve_lasso_batch — the routed one-call surface (batch/api.py)
+# ---------------------------------------------------------------------------
+
+
+def _routed_inputs(B=192, m=256, n=5, seed=11):
+    rng = np.random.default_rng(seed)
+    A = jnp.asarray(rng.normal(size=(B, m, n)), jnp.float32)
+    xt = np.zeros((B, n), np.float32)
+    xt[:, : max(1, n // 3)] = rng.normal(size=(B, max(1, n // 3)))
+    b = jnp.einsum("bmn,bn->bm", A, jnp.asarray(xt))
+    a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("bmn,bm->bn", A, b)), axis=1)
+    return A, b, a1
+
+
+def test_solve_lasso_batch_xla_and_kernel_agree():
+    """The routed surface must give the same certified answers whichever
+    execution path it picks (kernel forced via interpret on CPU CI)."""
+    from fastoptsolver_tpu.batch import solve_lasso_batch
+    from fastoptsolver_tpu.batch.fista_gram import BatchFISTAConfig
+
+    A, b, a1 = _routed_inputs()
+    # 5e-6, not 1e-6: a handful of random instances at this scale sit at
+    # the f32 Gram-form gap-evaluation floor (~1.1e-6) — converged but not
+    # certifiable tighter in f32 (the df32/f64 gap path exists for that)
+    cfg = BatchFISTAConfig(max_iter=2000, check_every=25, rel_gap_tol=5e-6)
+    res_x = solve_lasso_batch(A, b, a1, cfg=cfg, backend="xla")
+    res_k = solve_lasso_batch(A, b, a1, cfg=cfg, backend="kernel",
+                              interpret=True)
+    assert bool(np.asarray(res_x.converged).all())
+    assert bool(np.asarray(res_k.converged).all())
+    np.testing.assert_allclose(np.asarray(res_k.x), np.asarray(res_x.x),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_solve_lasso_batch_feature_major_matches_instance_major():
+    from fastoptsolver_tpu.batch import solve_lasso_batch
+    from fastoptsolver_tpu.batch.fista_gram import BatchFISTAConfig
+
+    A, b, a1 = _routed_inputs()
+    cfg = BatchFISTAConfig(max_iter=600, check_every=25, rel_gap_tol=5e-6)
+    res_im = solve_lasso_batch(A, b, a1, cfg=cfg, backend="kernel",
+                               interpret=True)
+    res_fm = solve_lasso_batch(jnp.transpose(A, (2, 1, 0)),
+                               jnp.transpose(b, (1, 0)), a1, cfg=cfg,
+                               backend="kernel", feature_major=True,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(res_fm.x), np.asarray(res_im.x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_solve_lasso_batch_routing_guards():
+    import pytest
+
+    from fastoptsolver_tpu.batch import solve_lasso_batch
+    from fastoptsolver_tpu.batch.fista_gram import BatchFISTAConfig
+
+    A, b, a1 = _routed_inputs(B=64, m=256, n=5)
+    # backtracking is XLA-driver-only: forcing the kernel must raise, auto
+    # must silently route to the driver and still certify
+    btcfg = BatchFISTAConfig(max_iter=200, check_every=25, rel_gap_tol=5e-6,
+                             backtracking=True)
+    with pytest.raises(ValueError, match="backtracking"):
+        solve_lasso_batch(A, b, a1, cfg=btcfg, backend="kernel")
+    # auto must route to the driver and RUN; full certification is not
+    # asserted — reference Armijo semantics (smooth-only test, never-growing
+    # τ) stall on many scenarios, pinned as the reference's own behavior by
+    # tests/test_sweep.py::test_armijo_stall_matches_reference_oracle
+    res = solve_lasso_batch(A, b, a1, cfg=btcfg, backend="auto")
+    assert np.isfinite(np.asarray(res.rel_gap)).all()
+    assert int(res.n_iters_total) > 0
+    # beyond the VMEM feature ceiling the kernel backend must refuse
+    rng = np.random.default_rng(0)
+    Aw = jnp.asarray(rng.normal(size=(8, 16, 160)), jnp.float32)
+    bw = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
+    with pytest.raises(ValueError, match="ceiling"):
+        solve_lasso_batch(Aw, bw, 0.5, backend="kernel")
+    with pytest.raises(ValueError, match="backend"):
+        solve_lasso_batch(A, b, a1, backend="bogus")
