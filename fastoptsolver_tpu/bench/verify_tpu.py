@@ -163,6 +163,19 @@ def run() -> dict:
 
     check("fused_gram_build", _build)
 
+    # 6b. the FMA-folded build variant (split_k=4, the bench.py default) must
+    # match the same f64 ground truth when Mosaic-compiled
+    gb_s4 = make_gram_batch_fused(Afm, bfm, alpha1=0.5, alpha2=0.1,
+                                  interpret=False, split_k=4)
+
+    def _build_split():
+        np.testing.assert_allclose(np.asarray(gb_s4.Q), Q64, rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gb_s4.c), c64, rtol=2e-4, atol=1e-4)
+        ratio = np.asarray(gb_s4.L) / np.asarray(gb_f.L)
+        assert np.all(ratio > 0.99) and np.all(ratio < 1.01), "split L drifted"
+
+    check("fused_gram_build_split4", _build_split)
+
     # 7. in-kernel greedy momentum (per-lane τ in the state rows)
     cfg_g = BatchFISTAConfig(max_iter=60, check_every=0, momentum="greedy")
     ref_g = fista_gram_batch(gb, cfg_g)
