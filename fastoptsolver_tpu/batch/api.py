@@ -43,6 +43,36 @@ def batch_lipschitz(problem_batch, key=None, n_iter: int = 100, tol: float = 1e-
     )
 
 
+def _kernel_route(n: int, cfg, backend: str, interpret: bool):
+    """Shared routing predicate: can/should this (n, cfg) run on the VMEM
+    kernel? Returns ``(use_kernel, reason_if_not)``. Supportability defers to
+    the kernel's own guards (``_check_kernel_cfg`` + ``auto_b_tile``) so the
+    router can never drift from what the kernel actually accepts — any config
+    those guards reject routes to the XLA driver under ``"auto"`` and raises
+    with the guard's message under ``"kernel"``."""
+    if backend not in ("auto", "kernel", "xla"):
+        raise ValueError(f"Unknown backend '{backend}'")
+    if backend == "xla":
+        return False, "backend='xla'"
+    from ..kernels.fista_vmem import (
+        SUBLANE,
+        _check_kernel_cfg,
+        _round_up,
+        auto_b_tile,
+    )
+
+    try:
+        _check_kernel_cfg(cfg)
+        auto_b_tile(_round_up(max(n, SUBLANE), SUBLANE))
+    except (ValueError, NotImplementedError) as e:
+        if backend == "kernel":
+            raise ValueError(f"backend='kernel' unsupported here: {e}") from e
+        return False, str(e)
+    if backend == "kernel" or jax.default_backend() == "tpu" or interpret:
+        return True, None
+    return False, "not on TPU (pass interpret=True to force off-TPU)"
+
+
 def solve_gram_batch(gb, cfg=None, backend: str = "auto",
                      interpret: bool = False):
     """Route a prebuilt ``GramBatch`` to its fastest supported solver.
@@ -50,40 +80,19 @@ def solve_gram_batch(gb, cfg=None, backend: str = "auto",
     ``"auto"``: the VMEM-resident certified kernel
     (kernels/fista_vmem.fista_gram_vmem) when on TPU (or ``interpret``), the
     padded feature count fits the ~104-feature VMEM ceiling, and the config
-    is kernel-supported (backtracking is XLA-driver-only); otherwise the XLA
-    driver (``fista_gram_batch``). ``"kernel"`` forces the Pallas path
-    (raises if unsupported); ``"xla"`` forces the driver."""
+    passes the kernel's own entry guards (backtracking and non-nesterov
+    adaptive restart are XLA-driver-only); otherwise the XLA driver
+    (``fista_gram_batch``). ``"kernel"`` forces the Pallas path (raises with
+    the guard's reason if unsupported); ``"xla"`` forces the driver."""
     from .fista_gram import BatchFISTAConfig, fista_gram_batch
 
-    if backend not in ("auto", "kernel", "xla"):
-        raise ValueError(f"Unknown backend '{backend}'")
     if cfg is None:
         cfg = BatchFISTAConfig(max_iter=1000, check_every=25, rel_gap_tol=1e-6)
+    use_kernel, _ = _kernel_route(gb.dim, cfg, backend, interpret)
+    if use_kernel:
+        from ..kernels import fista_gram_vmem
 
-    if backend != "xla":
-        from ..kernels.fista_vmem import auto_b_tile
-
-        n = gb.dim
-        n_pad = -(-max(n, 8) // 8) * 8
-        try:
-            auto_b_tile(n_pad)
-            fits = True
-        except ValueError:
-            fits = False
-        supported = fits and not cfg.backtracking
-        if backend == "kernel" and not supported:
-            raise ValueError(
-                "backend='kernel' unsupported here: "
-                + ("backtracking runs on the XLA driver"
-                   if cfg.backtracking
-                   else f"n={n} exceeds the VMEM kernel ceiling (~104)")
-            )
-        if backend == "kernel" or (
-            supported and (jax.default_backend() == "tpu" or interpret)
-        ):
-            from ..kernels import fista_gram_vmem
-
-            return fista_gram_vmem(gb, cfg, interpret=interpret)
+        return fista_gram_vmem(gb, cfg, interpret=interpret)
     return fista_gram_batch(gb, cfg)
 
 
@@ -122,23 +131,21 @@ def solve_lasso_batch(
     native layout — avoids a transpose pass); otherwise ``A (B, m, n),
     b (B, m)``. Returns a ``BatchResult``.
     """
-    from .fista_gram import BatchFISTAConfig, make_gram_batch
+    from .fista_gram import BatchFISTAConfig, fista_gram_batch, make_gram_batch
 
-    if backend not in ("auto", "kernel", "xla"):
-        raise ValueError(f"Unknown backend '{backend}'")
     if cfg is None:
         cfg = BatchFISTAConfig(max_iter=1000, check_every=25, rel_gap_tol=1e-6)
 
     n = A.shape[0] if feature_major else A.shape[-1]
+    # Route BEFORE building the Gram: the decision uses only static
+    # shape/config info, and a doomed backend='kernel' call must not first
+    # spend O(B·m·n²) compute and a (n, n, B) HBM tensor on the precompute.
+    use_kernel, _ = _kernel_route(n, cfg, backend, interpret)
 
-    use_fused_build = False
-    if backend != "xla" and n + 1 <= 8 and not cfg.backtracking:
-        use_fused_build = jax.default_backend() == "tpu" or interpret or (
-            backend == "kernel"
-        )
-
-    # Gram build: the fused kernel needs feature-leading input and n+1 <= 8.
-    if use_fused_build:
+    # Gram build: the fused kernel needs feature-leading input and n+1 <= 8
+    # augmented columns (kernels/gram_build.py's tile); wider problems use
+    # the XLA einsum precompute regardless of the solve path.
+    if use_kernel and n + 1 <= 8:
         from ..kernels import make_gram_batch_fused
 
         A_fm = A if feature_major else jnp.transpose(A, (2, 1, 0))
@@ -151,7 +158,11 @@ def solve_lasso_batch(
         b_im = jnp.transpose(b, (1, 0)) if feature_major else b
         gb = make_gram_batch(A_im, b_im, alpha1, alpha2, key=key)
 
-    return solve_gram_batch(gb, cfg, backend=backend, interpret=interpret)
+    if use_kernel:
+        from ..kernels import fista_gram_vmem
+
+        return fista_gram_vmem(gb, cfg, interpret=interpret)
+    return fista_gram_batch(gb, cfg)
 
 
 def solve_batch(

@@ -198,6 +198,8 @@ def make_gram_batch_fused(
             f"fused build supports n <= {SUBLANE - 1} features (got {n}); "
             "use batch.make_gram_batch for wider problems"
         )
+    if split_k < 1:
+        raise ValueError(f"split_k must be >= 1 (got {split_k})")
     pB = _round_up(B, b_tile) - B
     Q, c, btb, L = _build(
         A, b, pl_iters=pl_iters, b_tile=b_tile, interpret=interpret, pB=pB,

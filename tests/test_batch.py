@@ -402,7 +402,20 @@ def test_solve_lasso_batch_routing_guards():
     rng = np.random.default_rng(0)
     Aw = jnp.asarray(rng.normal(size=(8, 16, 160)), jnp.float32)
     bw = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
-    with pytest.raises(ValueError, match="ceiling"):
+    with pytest.raises(ValueError, match="XLA driver"):
         solve_lasso_batch(Aw, bw, 0.5, backend="kernel")
     with pytest.raises(ValueError, match="backend"):
         solve_lasso_batch(A, b, a1, backend="bogus")
+    # configs the kernel's entry guard rejects for OTHER reasons than
+    # backtracking (adaptive restart with non-nesterov momentum) must also
+    # route to the driver under auto — not crash in the kernel (regression:
+    # the first router only mirrored the backtracking constraint)
+    dcfg = BatchFISTAConfig(max_iter=600, check_every=25, rel_gap_tol=5e-6,
+                            momentum="delta", delta=3.0,
+                            adaptive_restart=True)
+    res_d = solve_lasso_batch(A, b, a1, cfg=dcfg, backend="auto",
+                              interpret=True)  # interpret would pick kernel
+    assert np.isfinite(np.asarray(res_d.rel_gap)).all()
+    with pytest.raises(ValueError, match="nesterov"):
+        solve_lasso_batch(A, b, a1, cfg=dcfg, backend="kernel",
+                          interpret=True)
