@@ -36,7 +36,11 @@ import jax as _jax
 # everything else (problem-protocol matvecs, gap checks, user code built on
 # the library). Opt out / override with FOS_MATMUL_PRECISION=default|bfloat16|…
 _prec = _os.environ.get("FOS_MATMUL_PRECISION", "highest")
-if _prec != "default":
+if _prec != "default" and _jax.config.jax_default_matmul_precision is None:
+    # Respect an explicit user choice made before this import (the config
+    # default is None): only fill in the library default when nothing was
+    # configured — import order must not silently override user settings
+    # (README "numerics contract" section documents this interaction).
     _jax.config.update("jax_default_matmul_precision", _prec)
 
 from . import batch, kernels, ops, parallel, problems, runtime, solvers, utils

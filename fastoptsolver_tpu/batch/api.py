@@ -68,9 +68,14 @@ def _kernel_route(n: int, cfg, backend: str, interpret: bool):
         if backend == "kernel":
             raise ValueError(f"backend='kernel' unsupported here: {e}") from e
         return False, str(e)
-    if backend == "kernel" or jax.default_backend() == "tpu" or interpret:
+    if jax.default_backend() == "tpu" or interpret:
         return True, None
-    return False, "not on TPU (pass interpret=True to force off-TPU)"
+    reason = "not on TPU (pass interpret=True to force off-TPU)"
+    if backend == "kernel":
+        # Fail here with the clear diagnosis rather than letting Mosaic
+        # lowering die deep inside Pallas with a cryptic backend error.
+        raise ValueError(f"backend='kernel' unsupported here: {reason}")
+    return False, reason
 
 
 def solve_gram_batch(gb, cfg=None, backend: str = "auto",

@@ -404,6 +404,11 @@ def test_solve_lasso_batch_routing_guards():
     bw = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
     with pytest.raises(ValueError, match="XLA driver"):
         solve_lasso_batch(Aw, bw, 0.5, backend="kernel")
+    # off-TPU without interpret: the router must fail with its clear
+    # diagnosis instead of letting Mosaic lowering die deep inside Pallas
+    # with a cryptic backend error (r3 advisor finding)
+    with pytest.raises(ValueError, match="not on TPU"):
+        solve_lasso_batch(A, b, a1, backend="kernel")
     with pytest.raises(ValueError, match="backend"):
         solve_lasso_batch(A, b, a1, backend="bogus")
     # configs the kernel's entry guard rejects for OTHER reasons than

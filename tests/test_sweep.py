@@ -134,7 +134,7 @@ def test_armijo_stall_matches_reference_oracle(full_sweep):
     being threshold-riders under different L estimators), so the stall is
     the reference algorithm's own behavior — this replaces the old
     unexplained `reach >= 0.6` bound."""
-    from oracle_np import fista_np
+    from oracle_np import fista_np, ista_np
     from fastoptsolver_tpu.bench.sweep import build_scenarios, ALPHA1, ALPHA2
 
     grid, results, sub = full_sweep
@@ -153,17 +153,27 @@ def test_armijo_stall_matches_reference_oracle(full_sweep):
 
     checked = disagreements = 0
     for reg, a2 in (("lasso", 0.0), ("enet", ALPHA2)):
-        for solver, delta in (("fista", None), ("fista_delta", 3.0)):
+        # "ista" rows close the last untested sweep cell (r3 verdict weak #2):
+        # ISTA's armijo-t2.0 column had no assertion anywhere — here every
+        # armijo run of all three first-order solvers is oracle-pinned.
+        for solver, delta in (("fista", None), ("fista_delta", 3.0),
+                              ("ista", "ista")):
             for tf in (1.0, 2.0):
                 name = f"{reg}-armijo-t{tf}"
                 it_jax = _iters_to(sub[solver][name], 1e-4)
                 curves = np.empty((len(grid), max_iter))
                 for i, (A, b) in enumerate(data):
                     L = float(np.linalg.eigvalsh(A.T @ A).max()) + a2
-                    _, tr = fista_np(
-                        A, b, ALPHA1, a2, L, backtracking=True,
-                        t_init_factor=tf, max_iter=max_iter, delta=delta,
-                    )
+                    if solver == "ista":
+                        _, tr = ista_np(
+                            A, b, ALPHA1, a2, L, backtracking=True,
+                            t_init_factor=tf, max_iter=max_iter,
+                        )
+                    else:
+                        _, tr = fista_np(
+                            A, b, ALPHA1, a2, L, backtracking=True,
+                            t_init_factor=tf, max_iter=max_iter, delta=delta,
+                        )
                     curves[i] = np.asarray(tr["obj"])
                 it_np = _iters_to(curves - f_star[reg][:, None], 1e-4)
                 agree = np.isfinite(it_jax) == np.isfinite(it_np)
