@@ -149,15 +149,17 @@ def solve_lasso_batch(
 
     # Gram build: the fused kernel needs feature-leading input and n+1 <= 8
     # augmented columns (kernels/gram_build.py's tile); wider problems use
-    # the XLA einsum precompute regardless of the solve path.
+    # the XLA einsum precompute regardless of the solve path. The kernel's
+    # own defaults ARE the measured-best headline configuration (pl_iters=32,
+    # split_k=4, b_tile=256 — RESULTS.md), so this routed path and bench.py
+    # run identical code.
     if use_kernel and n + 1 <= 8:
         from ..kernels import make_gram_batch_fused
 
         A_fm = A if feature_major else jnp.transpose(A, (2, 1, 0))
         b_fm = b if feature_major else jnp.transpose(b, (1, 0))
-        gb = make_gram_batch_fused(
-            A_fm, b_fm, alpha1, alpha2, split_k=4, interpret=interpret
-        )
+        gb = make_gram_batch_fused(A_fm, b_fm, alpha1, alpha2,
+                                   interpret=interpret)
     else:
         A_im = jnp.transpose(A, (2, 1, 0)) if feature_major else A
         b_im = jnp.transpose(b, (1, 0)) if feature_major else b

@@ -116,8 +116,10 @@ def _permute(gb, order):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--mode", default="burst",
-                    choices=["burst", "adaptive", "build-only", "greedy",
-                             "delta"])
+                    help="one of burst|adaptive|build-only|greedy|delta|"
+                         "routed, or a comma list to interleave MODES within "
+                         "one process (e.g. 'routed,burst' for the "
+                         "routed-vs-hand-wired parity check)")
     ap.add_argument("--sort", default="none",
                     choices=["none", "gap1", "L", "alpha", "gen"])
     ap.add_argument("--check-every", type=int, default=25)
@@ -147,24 +149,45 @@ def main(argv=None):
 
     A, b, alpha1 = _build(args.batch, args.m, sort_gen=args.sort == "gen")
 
-    kw = {}
-    if args.mode == "delta":
-        kw = dict(momentum="delta", delta=10.0)
-    elif args.mode == "greedy":
-        kw = dict(momentum="greedy")
-    if args.restart:
-        kw["adaptive_restart"] = True
-    cfg = BatchFISTAConfig(max_iter=1000, check_every=args.check_every,
-                           rel_gap_tol=1e-6, **kw)
+    modes = args.mode.split(",")
+    known = {"burst", "adaptive", "build-only", "greedy", "delta", "routed"}
+    bad = set(modes) - known
+    if bad:
+        raise SystemExit(
+            f"unknown mode(s) {sorted(bad)}; want subset of {sorted(known)}"
+        )
 
-    def make_solve(key):
-        pl_iters, build_tile, split_k = key
+    def make_cfg(mode):
+        kw = {}
+        if mode == "delta":
+            kw = dict(momentum="delta", delta=10.0)
+        elif mode == "greedy":
+            kw = dict(momentum="greedy")
+        if args.restart:
+            kw["adaptive_restart"] = True
+        return BatchFISTAConfig(max_iter=1000, check_every=args.check_every,
+                                rel_gap_tol=1e-6, **kw)
+
+    def make_solve(mode, plcfg):
+        cfg = make_cfg(mode)
+        pl_iters, build_tile, split_k = plcfg
+
         def solve():
+            if mode == "routed":
+                # the public one-call surface (batch/api.py) — pl/tile/split
+                # knobs are ignored (the routed path uses the kernel
+                # defaults); interleave 'routed,burst' for the
+                # routed-vs-hand-wired parity check
+                from ..batch import solve_lasso_batch
+
+                res = solve_lasso_batch(A, b, alpha1, 0.0, cfg=cfg,
+                                        feature_major=True)
+                return res.converged, res.iters
             gb = make_gram_batch_fused(A, b, alpha1, 0.0, pl_iters=pl_iters,
                                        b_tile=build_tile, split_k=split_k)
-            if args.mode == "build-only":
+            if mode == "build-only":
                 return gb.Q, None
-            if args.mode == "adaptive":
+            if mode == "adaptive":
                 if args.sort not in ("none", "gen"):  # gen sorts at generation
                     if args.sort == "gap1":
                         key = _gap_after_one_burst(gb, chunk=args.check_every)
@@ -191,14 +214,15 @@ def main(argv=None):
                 parts[1] if len(parts) > 1 else 256,
                 parts[2] if len(parts) > 2 else 1)
     pl_list = [parse(v) for v in args.pl_iters.split(",")]
-    solvers = {pl: make_solve(pl) for pl in pl_list}
+    keys = [(mode, pl) for mode in modes for pl in pl_list]
+    solvers = {k: make_solve(*k) for k in keys}
     for s in solvers.values():  # warm/compile every config first
         jax.block_until_ready(s())
 
-    results = {pl: [] for pl in pl_list}
+    results = {k: [] for k in keys}
     finals = {}
     for _ in range(args.trials):
-        for pl, s in solvers.items():  # interleaved A/B trials
+        for k, s in solvers.items():  # interleaved A/B trials
             t0 = time.perf_counter()
             for _ in range(args.reps):
                 out = s()
@@ -211,14 +235,15 @@ def main(argv=None):
                 float(conv[0, 0, 0])
             else:
                 n_conv = int(jnp.sum(conv))
-            results[pl].append(time.perf_counter() - t0)
-            finals[pl] = (n_conv, iters)
+            results[k].append(time.perf_counter() - t0)
+            finals[k] = (n_conv, iters)
 
-    for pl in pl_list:
-        dt = min(results[pl]) / args.reps
-        n_conv, iters = finals[pl]
+    for k in keys:
+        mode, pl = k
+        dt = min(results[k]) / args.reps
+        n_conv, iters = finals[k]
         rec = {
-            "mode": args.mode,
+            "mode": mode,
             "sort": args.sort,
             "check_every": args.check_every,
             "pl_iters": pl[0],
@@ -229,7 +254,7 @@ def main(argv=None):
             "ms": round(dt * 1e3, 3),
             "inst_per_s_M": round(n_conv / dt / 1e6, 2),
         }
-        if args.mode != "build-only" and iters is not None:
+        if mode != "build-only" and iters is not None:
             it = np.asarray(iters)
             rec["iters_median"] = int(np.median(it))
             rec["iters_mean"] = round(float(it.mean()), 1)

@@ -6,6 +6,7 @@ from .fista_vmem import (
     fista_gram_vmem_sharded,
     momentum_betas,
     auto_b_tile,
+    VmemSolveState,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "fista_gram_vmem_sharded",
     "momentum_betas",
     "auto_b_tile",
+    "VmemSolveState",
 ]

@@ -334,16 +334,40 @@ class _VmemState(NamedTuple):
     gap: Array  # (B,)
 
 
+class VmemSolveState(NamedTuple):
+    """Checkpointable kernel-path solver state (see utils/checkpoint.py — a
+    plain pytree). Feature-major like ``GramBatch``; ``t``/``ps`` are the
+    per-lane momentum rows (Nesterov scalar + previous step norm; per-lane τ
+    + first-step norm under greedy; the fixed-momentum modes resume via the
+    global β table indexed by ``k``). Produced by
+    ``fista_gram_vmem(..., return_state=True)`` and fed back as ``state0`` —
+    the continued trajectory is bit-identical to an uninterrupted run
+    (tests/test_kernels.py::test_vmem_kernel_resume_is_exact)."""
+
+    X: Array  # (n, B)
+    Y: Array  # (n, B)
+    t: Array  # (1, B)
+    ps: Array  # (1, B)
+    k: Array  # scalar int32 — iterations completed (host-read on resume)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_pad", "b_tile", "chunk", "n_bursts", "tol",
                      "interpret", "certify", "restart_threshold", "greedy",
-                     "n_true"),
+                     "n_true", "k0"),
 )
-def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, taumin, *,
+def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, taumin,
+                     X0=None, Y0=None, t0=None, ps0=None, *,
                      n_pad, b_tile, chunk, n_bursts, tol, interpret, certify,
-                     restart_threshold=None, greedy=None, n_true=None):
-    """The full certified solve as one device program (single host sync)."""
+                     restart_threshold=None, greedy=None, n_true=None,
+                     k0: int = 0):
+    """The full certified solve as one device program (single host sync).
+
+    ``X0/Y0/t0/ps0`` (padded, feature-major) with static ``k0`` resume a
+    previous run: the burst offsets index the global β table at absolute
+    iteration counts, so fixed-momentum sequences continue exactly; the
+    restart/greedy paths continue from their carried per-lane rows."""
     B = Q.shape[-1]
     dtype = Q.dtype
     a1row = alpha1[None, :].astype(dtype)
@@ -386,19 +410,21 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, taumin, *,
         )
 
     state = _VmemState(
-        X=jnp.zeros((n_pad, B), dtype),
-        Y=jnp.zeros((n_pad, B), dtype),
+        X=jnp.zeros((n_pad, B), dtype) if X0 is None else X0,
         # greedy reinterprets (t, ps) as (per-lane τ, first-step norm)
-        t=tau if greedy is not None else jnp.ones((1, B), dtype),
-        ps=jnp.zeros((1, B), dtype),
-        k=jnp.zeros((), jnp.int32),
+        Y=jnp.zeros((n_pad, B), dtype) if Y0 is None else Y0,
+        t=(tau if greedy is not None else jnp.ones((1, B), dtype))
+        if t0 is None else t0,
+        ps=jnp.zeros((1, B), dtype) if ps0 is None else ps0,
+        k=jnp.full((), k0, jnp.int32),
         done=jnp.zeros((B,), bool),
         iters=jnp.zeros((B,), jnp.int32),
         gap=jnp.full((B,), jnp.inf, dtype),
     )
     if certify:
         state = jax.lax.while_loop(
-            lambda s: (s.k < n_bursts * chunk) & ~jnp.all(s.done), burst, state
+            lambda s: (s.k < k0 + n_bursts * chunk) & ~jnp.all(s.done),
+            burst, state,
         )
         gap = state.gap
     else:
@@ -440,7 +466,9 @@ def fista_gram_vmem(
     cfg: BatchFISTAConfig = BatchFISTAConfig(),
     b_tile: int | None = None,
     interpret: bool = False,
-) -> BatchResult:
+    state0: VmemSolveState | None = None,
+    return_state: bool = False,
+):
     """Solve the batch with VMEM-resident kernel bursts, entirely on device.
 
     ``cfg.check_every > 0``: bursts of that many iterations with an on-device
@@ -460,6 +488,13 @@ def fista_gram_vmem(
     per-lane τ starts at ξ/L, unit momentum with the gradient-mapping restart
     test, the in-step safeguard, and the burst-boundary stuck-lane shrink —
     the same recurrence as batch/fista_gram.py's greedy branch.
+
+    ``state0`` resumes a previous run exactly (the SURVEY §5 checkpoint
+    obligation on the fast path — no drop to the XLA driver needed):
+    ``max_iter`` counts total iterations including the resumed ones, matching
+    ``fista_gram_batch``. ``state0.k`` is read on the host (one sync) to size
+    the static burst schedule. With ``return_state`` the final
+    :class:`VmemSolveState` is returned alongside the result.
     """
     _check_kernel_cfg(cfg)
     n, B_orig = gb.c.shape
@@ -469,10 +504,12 @@ def fista_gram_vmem(
     b_tile = min(b_tile, _round_up(B_orig, LANE))
     B = _round_up(B_orig, b_tile)
 
+    k0 = int(state0.k) if state0 is not None else 0
     certify = cfg.check_every > 0
-    chunk = cfg.check_every if certify else cfg.max_iter
-    n_bursts = -(-cfg.max_iter // chunk)
-    betas, _ = momentum_betas(0, n_bursts * chunk, 1.0, cfg)
+    remaining = max(cfg.max_iter - k0, 0)
+    chunk = cfg.check_every if certify else max(remaining, 1)
+    n_bursts = -(-remaining // chunk)
+    betas, _ = momentum_betas(0, max(k0 + n_bursts * chunk, 1), 1.0, cfg)
     greedy = (
         (cfg.greedy_S, cfg.greedy_shrink) if cfg.momentum == "greedy" else None
     )
@@ -480,16 +517,21 @@ def fista_gram_vmem(
 
     # Everything from padding to the final slice is ONE jitted program: each
     # eager op here would cost a full dispatch round-trip over the TPU tunnel.
-    return _pad_and_solve(
+    result, fin = _pad_and_solve(
         betas, gb.Q, gb.c, gb.btb, gb.alpha1, gb.alpha2, gb.L,
+        X0=None if state0 is None else state0.X,
+        Y0=None if state0 is None else state0.Y,
+        t0=None if state0 is None else state0.t,
+        ps0=None if state0 is None else state0.ps,
         pn=n_pad - n, pB=B - B_orig, n_pad=n_pad, b_tile=b_tile, chunk=chunk,
         n_bursts=n_bursts, tol=cfg.rel_gap_tol, interpret=interpret,
         certify=certify, t_init_factor=step_factor,
         restart_threshold=(
             cfg.restart_threshold if cfg.adaptive_restart else None
         ),
-        greedy=greedy,
+        greedy=greedy, k0=k0,
     )
+    return (result, fin) if return_state else result
 
 
 @functools.partial(
@@ -497,13 +539,14 @@ def fista_gram_vmem(
     static_argnames=(
         "pn", "pB", "n_pad", "b_tile", "chunk", "n_bursts", "tol",
         "interpret", "certify", "t_init_factor", "restart_threshold",
-        "greedy",
+        "greedy", "k0",
     ),
 )  # n_true derived from pn inside (n = n_pad - pn)
-def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
+def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L,
+                   X0=None, Y0=None, t0=None, ps0=None, *, pn, pB, n_pad,
                    b_tile, chunk, n_bursts, tol, interpret, certify,
                    t_init_factor, restart_threshold=None,
-                   greedy=None) -> BatchResult:
+                   greedy=None, k0: int = 0):
     n, B_orig = c.shape
     if pn or pB:
         Q = jnp.pad(Q, ((0, pn), (0, pn), (0, pB)))
@@ -512,6 +555,13 @@ def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
         alpha1 = jnp.pad(alpha1, (0, pB))
         alpha2 = jnp.pad(alpha2, (0, pB))
         L = jnp.pad(L, (0, pB), constant_values=1.0)
+        if X0 is not None:
+            # padded lanes are zero-Q instances whose trajectory is X = 0
+            # from any of these fills — values there are don't-care
+            X0 = jnp.pad(X0, ((0, pn), (0, pB)))
+            Y0 = jnp.pad(Y0, ((0, pn), (0, pB)))
+            t0 = jnp.pad(t0, ((0, 0), (0, pB)), constant_values=1.0)
+            ps0 = jnp.pad(ps0, ((0, 0), (0, pB)))
     dtype = c.dtype
     tau = (t_init_factor / L).astype(dtype)[None, :]
     thr = tau * alpha1[None, :]
@@ -520,13 +570,14 @@ def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
 
     state = _solve_on_device(
         betas, Q, c, btb, alpha1, alpha2, tau, thr, a2, taumin,
+        X0, Y0, t0, ps0,
         n_pad=n_pad, b_tile=b_tile, chunk=chunk, n_bursts=n_bursts,
         tol=tol, interpret=interpret, certify=certify,
-        restart_threshold=restart_threshold, greedy=greedy, n_true=n,
+        restart_threshold=restart_threshold, greedy=greedy, n_true=n, k0=k0,
     )
     sl = slice(0, B_orig)
     failed = ~jnp.all(jnp.isfinite(state.X[:, sl]), axis=0)
-    return BatchResult(
+    result = BatchResult(
         x=state.X[:n, sl].T,
         iters=state.iters[sl],
         rel_gap=state.gap[sl],
@@ -534,6 +585,11 @@ def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L, *, pn, pB, n_pad,
         converged=state.done[sl] & ~failed,
         failed=failed,
     )
+    fin = VmemSolveState(
+        X=state.X[:n, sl], Y=state.Y[:n, sl], t=state.t[:, sl],
+        ps=state.ps[:, sl], k=state.k,
+    )
+    return result, fin
 
 
 def fista_gram_vmem_sharded(

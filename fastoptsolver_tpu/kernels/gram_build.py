@@ -181,17 +181,25 @@ def make_gram_batch_fused(
     b: Array,  # (m, B)
     alpha1,
     alpha2,
-    pl_iters: int = 96,
+    pl_iters: int = 32,
     l_safety: float = 1.02,
     b_tile: int = 256,
     interpret: bool = False,
-    split_k: int = 1,
+    split_k: int = 4,
 ) -> GramBatch:
     """Fused-kernel equivalent of ``batch.make_gram_batch`` for feature-leading
     inputs. ``l_safety`` scales the power-iteration estimate up slightly: an
     *under*-estimated L makes the FISTA step too long (divergence risk, lanes
     quarantined), an over-estimate just costs a few extra certified
-    iterations — asymmetric risk, so lean high."""
+    iterations — asymmetric risk, so lean high.
+
+    Defaults are the measured-best headline configuration (RESULTS.md
+    interleaved ablations): ``pl_iters=32`` (v0=c warm start + the 1.02 L
+    safety margin keeps every instance certified at a quarter of the
+    original 96-step depth), ``split_k=4`` (FMA-folded m-reduction, the
+    build stage's binding VPU resource), ``b_tile=256`` (128 is ~4× slower,
+    320+ exceeds the double-buffered VMEM budget) — so the routed public
+    surface (batch/api.py) and the hand-wired bench measure the same code."""
     n, m, B = A.shape
     if n + 1 > SUBLANE:
         raise ValueError(

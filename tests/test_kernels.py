@@ -553,3 +553,72 @@ def test_fused_build_nonmultiple_rows():
     np.testing.assert_allclose(np.asarray(gb.Q), np.asarray(gb0.Q), atol=1e-3)
     np.testing.assert_allclose(np.asarray(gb.c), np.asarray(gb0.c), atol=1e-3)
     np.testing.assert_allclose(np.asarray(gb.btb), np.asarray(gb0.btb), rtol=1e-5)
+
+
+def test_vmem_kernel_resume_is_exact(tmp_path):
+    """SURVEY §5 checkpoint obligation on the FAST path (r3 verdict weak #4):
+    40 iterations + checkpoint + resume 60 must reproduce a straight
+    100-iteration kernel run bit-for-bit, in every momentum mode the kernel
+    implements — fixed nesterov (global β table, absolute-k indexed),
+    adaptive restart (per-lane t/prev-step rows), and greedy (per-lane τ +
+    first-step rows). One case round-trips through utils/checkpoint.py to
+    pin the on-disk format."""
+    from fastoptsolver_tpu.kernels import VmemSolveState, fista_gram_vmem
+    from fastoptsolver_tpu.utils.checkpoint import restore_pytree, save_pytree
+
+    A, b = _batch()
+    gb = make_gram_batch(
+        jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32), 0.5, 0.0
+    )
+    for i, kw in enumerate(
+        (dict(), dict(adaptive_restart=True), dict(momentum="greedy"))
+    ):
+        full = BatchFISTAConfig(max_iter=100, check_every=0, **kw)
+        half = BatchFISTAConfig(max_iter=40, check_every=0, **kw)
+        straight = fista_gram_vmem(gb, full, b_tile=128, interpret=True)
+        _, mid = fista_gram_vmem(
+            gb, half, b_tile=128, interpret=True, return_state=True
+        )
+        assert isinstance(mid, VmemSolveState)
+        assert int(mid.k) == 40
+        if i == 0:  # disk round-trip (atomic npz pytree checkpoint)
+            path = save_pytree(str(tmp_path / "kstate"), mid)
+            mid = restore_pytree(path, mid)
+        resumed = fista_gram_vmem(
+            gb, full, b_tile=128, interpret=True, state0=mid
+        )
+        np.testing.assert_array_equal(
+            np.asarray(resumed.x), np.asarray(straight.x)
+        )
+        assert int(resumed.n_iters_total) == 100
+
+
+def test_vmem_kernel_resume_certified():
+    """Resume also composes with the certification loop: a run cut at 50
+    iterations and resumed with check_every=25 certifies every instance and
+    matches the XLA driver's certified answers."""
+    A, b = _batch()
+    gb = make_gram_batch(
+        jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32), 0.5, 0.0
+    )
+    _, mid = fista_gram_vmem(
+        gb, BatchFISTAConfig(max_iter=50, check_every=0), b_tile=128,
+        interpret=True, return_state=True,
+    )
+    cfg = BatchFISTAConfig(max_iter=2000, check_every=25, rel_gap_tol=5e-6)
+    res = fista_gram_vmem(gb, cfg, b_tile=128, interpret=True, state0=mid)
+    assert bool(np.asarray(res.converged).all())
+    assert np.asarray(res.rel_gap).max() <= 5e-6
+    # two certified solves may stop at different burst boundaries; the
+    # contract is objective parity, not raw-x identity (cf. the wide-n
+    # verify_tpu convention)
+    ref = fista_gram_batch(gb, cfg)
+
+    def obj(x):
+        r = np.einsum("bmn,bn->bm", A, x) - b
+        return 0.5 * np.sum(r * r, axis=1) + 0.5 * np.abs(x).sum(axis=1)
+
+    np.testing.assert_allclose(
+        obj(np.asarray(res.x, np.float64)), obj(np.asarray(ref.x, np.float64)),
+        rtol=1e-5,
+    )
