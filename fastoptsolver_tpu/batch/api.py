@@ -147,13 +147,22 @@ def solve_lasso_batch(
     # spend O(B·m·n²) compute and a (n, n, B) HBM tensor on the precompute.
     use_kernel, _ = _kernel_route(n, cfg, backend, interpret)
 
-    # Gram build: the fused kernel needs feature-leading input and n+1 <= 8
-    # augmented columns (kernels/gram_build.py's tile); wider problems use
-    # the XLA einsum precompute regardless of the solve path. The kernel's
-    # own defaults ARE the measured-best headline configuration (pl_iters=32,
-    # split_k=4, b_tile=256 — RESULTS.md), so this routed path and bench.py
-    # run identical code.
-    if use_kernel and n + 1 <= 8:
+    # Gram build: the fused one-pass kernel is generic over n (round 4) up
+    # to its own VMEM ceiling (~90 features; _auto_tiles raises beyond);
+    # past that the XLA einsum precompute takes over regardless of the solve
+    # path. The kernel's own defaults ARE the measured-best headline
+    # configuration (RESULTS.md), so this routed path and bench.py run
+    # identical code.
+    fused_build = False
+    if use_kernel:
+        from ..kernels.gram_build import _auto_tiles
+
+        try:
+            _auto_tiles(n, A.shape[1])  # m is axis 1 in BOTH layouts
+            fused_build = True
+        except ValueError:
+            fused_build = False
+    if fused_build:
         from ..kernels import make_gram_batch_fused
 
         A_fm = A if feature_major else jnp.transpose(A, (2, 1, 0))

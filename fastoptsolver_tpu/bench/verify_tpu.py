@@ -122,6 +122,22 @@ def run() -> dict:
 
     check("certified_bursts", _cert)
 
+    # 4b. resume on the kernel path (round 4): 30 iterations + resume to 60
+    # must equal the straight 60-iteration Mosaic run bit-for-bit
+    _, mid_s = fista_gram_vmem(
+        gb, BatchFISTAConfig(max_iter=30, check_every=0), b_tile=128,
+        interpret=False, return_state=True,
+    )
+    resumed = fista_gram_vmem(
+        gb, cfg_fixed, b_tile=128, interpret=False, state0=mid_s
+    )
+    check(
+        "kernel_resume",
+        lambda: np.testing.assert_array_equal(
+            np.asarray(resumed.x), np.asarray(got.x)
+        ),
+    )
+
     # 5. per-tile adaptive kernel: same cadence ⇒ identical iteration counts
     res_a = fista_gram_vmem_adaptive(gbc, cfg_c, b_tile=128, interpret=False)
 
@@ -175,6 +191,40 @@ def run() -> dict:
         assert np.all(ratio > 0.99) and np.all(ratio < 1.01), "split L drifted"
 
     check("fused_gram_build_split4", _build_split)
+
+    # 6c. generic-n fused build (round 4): the m-grid accumulator kernel at
+    # n ∈ {20, 64} vs float64 ground truth. n=64 deliberately hits the
+    # ragged-last-brick path (m=264 has no multiple-of-8 divisor in the
+    # auto m_tile's preferred range) — the out-of-bounds row masking must
+    # hold on real hardware, where OOB block contents are unspecified.
+    # n=20 uses m=250 (NOT a multiple of 8 — every auto m_tile choice leaves
+    # a ragged last brick, so the OOB row masking is exercised on hardware,
+    # where OOB block contents are unspecified)
+    for n_b, mb in ((20, 250), (64, 264)):
+        rngb = np.random.default_rng(100 + n_b)
+        Bb = 256
+        Afb = jnp.asarray(rngb.normal(size=(n_b, mb, Bb)), jnp.float32)
+        bfb = jnp.asarray(rngb.normal(size=(mb, Bb)), jnp.float32)
+        gb_w = make_gram_batch_fused(Afb, bfb, alpha1=0.5, alpha2=0.0,
+                                     interpret=False)
+        A64b = np.asarray(Afb, np.float64)
+        Q64b = np.einsum("imb,jmb->ijb", A64b, A64b)
+        c64b = np.einsum("imb,mb->ib", A64b, np.asarray(bfb, np.float64))
+        L64b = np.linalg.eigvalsh(Q64b.transpose(2, 0, 1)).max(axis=1)
+
+        def _buildw(gb_w=gb_w, Q64b=Q64b, c64b=c64b, L64b=L64b):
+            np.testing.assert_allclose(
+                np.asarray(gb_w.Q), Q64b, rtol=2e-4, atol=2e-3
+            )
+            np.testing.assert_allclose(
+                np.asarray(gb_w.c), c64b, rtol=2e-4, atol=2e-3
+            )
+            ratio = np.asarray(gb_w.L, np.float64) / (1.02 * L64b)
+            assert np.all(ratio > 0.85) and np.all(ratio < 1.05), (
+                f"L off true λmax: [{ratio.min():.3f}, {ratio.max():.3f}]"
+            )
+
+        check(f"fused_build_n{n_b}", _buildw)
 
     # 7. in-kernel greedy momentum (per-lane τ in the state rows)
     cfg_g = BatchFISTAConfig(max_iter=60, check_every=0, momentum="greedy")

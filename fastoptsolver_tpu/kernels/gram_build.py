@@ -14,16 +14,30 @@ This kernel does the whole stage in ONE streaming pass:
   ``A (n, m, B)`` and ``b (m, B)`` — instances on lanes, rows on sublanes,
   features on the (untiled) leading axis, so ``A_ref[i]`` is a free plane
   select inside the kernel;
-- per (m, B_TILE) tile: the 21 = (n+1)(n+2)/2 distinct entries of the
-  symmetric augmented Gram ``[A|b]ᵀ[A|b]`` (exploiting symmetry — the XLA
-  einsum computes all 36) as VPU multiply-reduce over the resident tile;
-- the power iteration runs **in-kernel** against the register-resident Gram
-  (40 × n_pad (8, B_TILE)-wide FMAs — microseconds, vs. milliseconds of HBM
-  re-reads), started from ``c`` (deterministic, generically non-orthogonal
-  to the dominant eigenvector);
+- the grid is 2-D ``(B/b_tile, ⌈m/m_tile⌉)`` with the row axis innermost:
+  each step streams an ``(n, m_tile, b_tile)`` brick and accumulates the
+  (n+1)(n+2)/2 distinct entries of the symmetric augmented Gram
+  ``[A|b]ᵀ[A|b]`` into a VMEM scratch that persists across the row steps.
+  Folding m into the grid (round 4) keeps every block comfortably inside
+  VMEM at ANY feature count and — measured interleaved on chip — runs the
+  whole build within ~2% of a pure-streaming kernel that does no math at
+  all: the pair arithmetic is fully hidden behind the DMA, where the old
+  single-brick variant sat ~15% above it (RESULTS.md round 4);
+- on the last row step the augmented Gram is assembled and the power
+  iteration runs **in-kernel** against the register-resident Gram, started
+  from ``c`` (deterministic, generically non-orthogonal to the dominant
+  eigenvector);
 - HBM traffic: A+b read exactly once, outputs O(n²·B) ≪ input.
 
+Feature count is generic (round-4 verdict item 2): any ``n`` whose padded
+Gram blocks fit the VMEM budget (n ≲ 90) builds fused — the same envelope
+the solve kernel covers (kernels/fista_vmem.py's ~104-feature ceiling);
+beyond that, ``_auto_tiles`` raises with a pointer to the XLA einsum
+precompute. Mosaic-verified on chip at n ∈ {5, 20, 64} (bench/verify_tpu.py).
+
 Feeds kernels/fista_vmem.py directly (same feature-major GramBatch layout).
+Re-designs the reference's per-instance NumPy precompute
+(``iterative_solvers.py:155-175``) for lane-batched TPU execution.
 """
 from __future__ import annotations
 
@@ -45,24 +59,89 @@ def _round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
 
-def _gram_tile_kernel(A_ref, b_ref, Q_ref, c_ref, btb_ref, L_ref, *,
-                      n: int, n_pad: int, pl_iters: int, split_k: int = 1):
-    """One (m, B_TILE) tile: symmetric Gram + c + btb + in-kernel power
-    iteration. ``A_ref``: (n, m, BT); ``b_ref``: (m, BT).
+def _pairs(na: int):
+    """Upper-triangle index pairs of the (na, na) augmented Gram, row-major:
+    the accumulator row of pair (i, k) is ``p = i·na − i(i−1)/2 + (k − i)``."""
+    return [(i, k) for i in range(na) for k in range(i, na)]
 
-    ``split_k > 1`` folds the m-axis ``split_k``-ways BEFORE the tree
-    reduction: ``Σ_m a·b = Σ_rows (a₀b₀ + a₁b₁ + …)`` where the k−1 adds
-    chain onto fresh products — an FMA-shaped expression. The plain
-    ``sum(a*b)`` form costs ~2 VPU ops/element (multiply + tree-add, the
-    measured binding resource of the whole build stage); the folded form
-    approaches ~1.25 ops/element at k=8 if Mosaic fuses multiply-add.
-    Requires ``m % split_k == 0`` (caller falls back to 1 otherwise)."""
-    cols = [A_ref[i] for i in range(n)] + [b_ref[:]]  # each (m, BT)
+
+def _auto_tiles(n: int, m: int, vmem_budget_bytes: int = 12 * 1024 * 1024):
+    """Pick ``(b_tile, m_tile)`` so the double-buffered input bricks, the
+    double-buffered output blocks, and the pair accumulator all fit the VMEM
+    budget. Prefers wide lane tiles (fewer grid steps) and row tiles around
+    128-256 (big enough for chunky DMA, small enough to pipeline).
+
+    Raises when even the minimum (128-lane) tile cannot fit — the fused
+    build's ceiling is n ≈ 90 features (the output Gram block dominates);
+    wider problems belong on the XLA einsum precompute
+    (``batch.make_gram_batch`` — same math, Precision.HIGHEST)."""
     na = n + 1
-    m = cols[0].shape[0]
+    n_pad = _round_up(max(n, SUBLANE), SUBLANE)
+    npairs_pad = _round_up(na * (na + 1) // 2, SUBLANE)
+    for bt in (1024, 512, 256, 128):
+        # outputs are streamed out once per lane tile but still double-buffer;
+        # acc persists; ~3 plane-sized temporaries live in the end phase
+        # (the assembly writes Q one plane at a time and the power iteration
+        # reads planes back from the output ref, so no full register-resident
+        # Q copy exists — Mosaic's scoped-vmem accounting counts live values)
+        out_bytes = 2 * (n_pad * n_pad + n_pad + 2) * bt * 4
+        acc_bytes = npairs_pad * bt * 4
+        slack = 3 * n_pad * bt * 4
+        fixed = out_bytes + acc_bytes + slack
+        if fixed >= vmem_budget_bytes:
+            continue
+        # input bricks: 2 (double-buffered) × (n+1) planes × mt × bt × 4 B
+        mt_fit = (vmem_budget_bytes - fixed) // (2 * na * bt * 4)
+        if m <= max(mt_fit, 0):
+            return bt, m  # whole row axis in one brick (no row grid)
+        mt = min((mt_fit // SUBLANE) * SUBLANE, 256)
+        if mt >= 4 * SUBLANE:  # tiny bricks waste DMA; try a narrower lane tile
+            # prefer an exact divisor of m (skips the ragged-brick mask)
+            for d in range(mt, max(SUBLANE, mt // 2) - 1, -SUBLANE):
+                if m % d == 0:
+                    return bt, d
+            return bt, int(mt)
+    raise ValueError(
+        f"fused Gram build: n={n} needs more VMEM than the ~16 MiB/core "
+        "budget even at the minimum 128-lane tile. Use the XLA precompute "
+        "(batch.make_gram_batch) for n ≳ 90 features."
+    )
 
-    if split_k > 1:
-        part = m // split_k
+
+def _gram_tile_kernel(A_ref, b_ref, Q_ref, c_ref, btb_ref, L_ref, acc_ref, *,
+                      n: int, n_pad: int, m: int, m_tile: int, pl_iters: int,
+                      split_k: int = 1):
+    """One ``(m_tile, b_tile)`` brick: accumulate the symmetric augmented
+    Gram pairs into ``acc_ref`` (VMEM scratch, persists across the inner row
+    grid); on the last row step assemble Q/c/btb and run the in-kernel power
+    iteration. ``A_ref``: (n, m_tile, BT); ``b_ref``: (m_tile, BT).
+
+    ``split_k > 1`` folds the row axis ``split_k``-ways BEFORE the tree
+    reduction — an FMA-shaped expression (kept from round 3; the round-4
+    re-ablation measured it at noise level once the m-grid hid the compute
+    behind the DMA, see RESULTS.md)."""
+    j = pl.program_id(1)
+    nm = pl.num_programs(1)
+    na = n + 1
+    pairs = _pairs(na)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cols = [A_ref[i] for i in range(n)] + [b_ref[:]]  # each (m_tile, BT)
+    if m % m_tile:
+        # ragged last brick: rows past m are out-of-bounds block padding with
+        # unspecified contents — zero them (jnp.where also kills NaN/Inf)
+        valid = m - j * m_tile  # > m_tile except on the last step
+        row_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, cols[0].shape, 0) < valid
+        )
+        cols = [jnp.where(row_ok, col, 0.0) for col in cols]
+
+    mt = cols[0].shape[0]
+    if split_k > 1 and mt % split_k == 0:
+        part = mt // split_k
 
         def pair_sum(a, b):
             acc = a[:part] * b[:part]
@@ -73,94 +152,115 @@ def _gram_tile_kernel(A_ref, b_ref, Q_ref, c_ref, btb_ref, L_ref, *,
         def pair_sum(a, b):
             return jnp.sum(a * b, axis=0, keepdims=True)  # (1, BT)
 
-    # 21 distinct entries of the augmented Gram (VPU multiply + m-reduction).
-    G = {}
-    for i in range(na):
-        for j in range(i, na):
-            G[(i, j)] = pair_sum(cols[i], cols[j])
-
-    def g(i: int, j: int) -> Array:
-        return G[(min(i, j), max(i, j))]
-
-    zero = jnp.zeros_like(G[(0, 0)])
-    # Q rows as (n_pad, BT) planes (symmetric; padded rows/cols zero).
-    rows = [
-        jnp.concatenate(
-            [g(i, j) if (i < n and j < n) else zero for j in range(n_pad)], axis=0
+    # accumulate the distinct pair sums, SUBLANE-aligned groups per write;
+    # pair rows are computed INSIDE the group loop so at most SUBLANE of
+    # them are live at once (a fully materialized row list blows Mosaic's
+    # scoped-vmem stack at wide n — measured 19-24 MB at n=64)
+    zero = jnp.zeros((1,) + cols[0].shape[1:], cols[0].dtype)
+    npairs_pad = acc_ref.shape[0]
+    for gstart in range(0, npairs_pad, SUBLANE):
+        grp = [
+            pair_sum(cols[pairs[p][0]], cols[pairs[p][1]])
+            if p < len(pairs) else zero
+            for p in range(gstart, gstart + SUBLANE)
+        ]
+        chunk = jnp.concatenate(grp, axis=0)
+        acc_ref[gstart:gstart + SUBLANE, :] = (
+            acc_ref[gstart:gstart + SUBLANE, :] + chunk
         )
-        if i < n
-        else jnp.zeros((n_pad,) + zero.shape[1:], zero.dtype)
-        for i in range(n_pad)
-    ]
-    for i in range(n_pad):
-        Q_ref[i] = rows[i]
-    c_vec = jnp.concatenate(
-        [g(i, n) if i < n else zero for i in range(n_pad)], axis=0
-    )  # (n_pad, BT)
-    c_ref[:] = c_vec
-    btb_ref[:] = g(n, n)
 
-    # Power iteration on the register-resident Gram: v0 = c (its padded rows
-    # are already zero, so the iteration stays in the genuine n-subspace).
-    def norm(v):
-        return jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+    @pl.when(j == nm - 1)
+    def _():
+        def g(i, k):
+            # acc row of upper-triangle pair (i, k), read straight from the
+            # scratch so no persistent value dict inflates the vmem stack
+            i, k = min(i, k), max(i, k)
+            p = i * na - (i * (i - 1)) // 2 + (k - i)
+            return acc_ref[p:p + 1, :]
 
-    v0 = c_vec / jnp.maximum(norm(c_vec), 1e-30)
+        zrow = zero
+        # Q rows as (n_pad, BT) planes (symmetric; padded rows/cols zero),
+        # written ONE AT A TIME — a full register-resident Q copy at wide n
+        # would blow the Mosaic scoped-vmem stack (measured: n=64 needed
+        # 23.8 MB of the 16 MB budget before this).
+        for i in range(n_pad):
+            if i < n:
+                Q_ref[i] = jnp.concatenate(
+                    [g(i, k) if k < n else zrow for k in range(n_pad)],
+                    axis=0,
+                )
+            else:
+                Q_ref[i] = jnp.zeros((n_pad,) + zrow.shape[1:], zrow.dtype)
+        c_vec = jnp.concatenate(
+            [g(i, n) if i < n else zrow for i in range(n_pad)], axis=0
+        )  # (n_pad, BT)
+        c_ref[:] = c_vec
+        btb_ref[:] = g(n, n)
 
-    def matvec(v):
-        # unroll over the TRUE feature count: rows[j] for j >= n are zero
-        # planes (padding) — same 37%-of-FMAs saving as the solve kernel's
-        # n_true unroll (kernels/fista_vmem.py), v stays in the n-subspace
-        out = jnp.zeros_like(v)
-        for j in range(n):
-            out += rows[j] * v[j : j + 1, :]
-        return out
+        # Power iteration on the VMEM-resident Gram (reads the just-written
+        # output block — no extra HBM traffic): v0 = c (its padded rows are
+        # already zero, so the iteration stays in the n-subspace).
+        def norm(v):
+            return jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
 
-    def step(_, carry):
-        v, _ = carry
-        w = matvec(v)
-        L = norm(w)
-        return w / jnp.maximum(L, 1e-30), L
+        v0 = c_vec / jnp.maximum(norm(c_vec), 1e-30)
 
-    _, L = jax.lax.fori_loop(
-        0, pl_iters, step, (v0, jnp.zeros_like(btb_ref[:]))
-    )
-    L_ref[:] = L
+        def matvec(v):
+            # unroll over the TRUE feature count: planes k >= n are zero
+            # (padding) — same saving as the solve kernel's n_true unroll
+            # (kernels/fista_vmem.py); v stays in the n-subspace
+            out = jnp.zeros_like(v)
+            for k in range(n):
+                out += Q_ref[k] * v[k:k + 1, :]
+            return out
+
+        def step(_, carry):
+            v, _ = carry
+            w = matvec(v)
+            L = norm(w)
+            return w / jnp.maximum(L, 1e-30), L
+
+        _, L = jax.lax.fori_loop(
+            0, pl_iters, step, (v0, jnp.zeros_like(btb_ref[:]))
+        )
+        L_ref[:] = L
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pl_iters", "b_tile", "interpret", "pB",
-                              "split_k")
+    jax.jit, static_argnames=("pl_iters", "b_tile", "m_tile", "interpret",
+                              "pB", "split_k")
 )
-def _build(A, b, *, pl_iters, b_tile, interpret, pB, split_k=1):
+def _build(A, b, *, pl_iters, b_tile, m_tile, interpret, pB, split_k=1):
     n, m, B_orig = A.shape
     if pB:
         A = jnp.pad(A, ((0, 0), (0, 0), (0, pB)))
         b = jnp.pad(b, ((0, 0), (0, pB)))
     B = B_orig + pB
     n_pad = _round_up(max(n, SUBLANE), SUBLANE)
+    na = n + 1
+    npairs_pad = _round_up(na * (na + 1) // 2, SUBLANE)
     kern = functools.partial(
-        _gram_tile_kernel, n=n, n_pad=n_pad, pl_iters=pl_iters,
-        split_k=split_k if m % split_k == 0 else 1,
+        _gram_tile_kernel, n=n, n_pad=n_pad, m=m, m_tile=m_tile,
+        pl_iters=pl_iters, split_k=split_k,
     )
-    grid = (B // b_tile,)
+    grid = (B // b_tile, pl.cdiv(m, m_tile))
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n, m, b_tile), lambda i: (0, 0, i),
+            pl.BlockSpec((n, m_tile, b_tile), lambda i, j: (0, j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, b_tile), lambda i: (0, i),
+            pl.BlockSpec((m_tile, b_tile), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((n_pad, n_pad, b_tile), lambda i: (0, 0, i),
+            pl.BlockSpec((n_pad, n_pad, b_tile), lambda i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, b_tile), lambda i: (0, i),
+            pl.BlockSpec((n_pad, b_tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_tile), lambda i: (0, i),
+            pl.BlockSpec((1, b_tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_tile), lambda i: (0, i),
+            pl.BlockSpec((1, b_tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -169,6 +269,7 @@ def _build(A, b, *, pl_iters, b_tile, interpret, pB, split_k=1):
             jax.ShapeDtypeStruct((1, B), A.dtype),
             jax.ShapeDtypeStruct((1, B), A.dtype),
         ],
+        scratch_shapes=[pltpu.VMEM((npairs_pad, b_tile), A.dtype)],
         interpret=interpret,
     )(A, b)
     Q, c, btb, L = out
@@ -181,37 +282,48 @@ def make_gram_batch_fused(
     b: Array,  # (m, B)
     alpha1,
     alpha2,
-    pl_iters: int = 32,
+    pl_iters: int | None = None,
     l_safety: float = 1.02,
-    b_tile: int = 256,
+    b_tile: int | None = None,
+    m_tile: int | None = None,
     interpret: bool = False,
     split_k: int = 4,
 ) -> GramBatch:
     """Fused-kernel equivalent of ``batch.make_gram_batch`` for feature-leading
-    inputs. ``l_safety`` scales the power-iteration estimate up slightly: an
+    inputs, generic over the feature count up to the VMEM ceiling (n ≲ 90;
+    ``_auto_tiles`` raises beyond it with a pointer to the XLA precompute).
+
+    ``l_safety`` scales the power-iteration estimate up slightly: an
     *under*-estimated L makes the FISTA step too long (divergence risk, lanes
     quarantined), an over-estimate just costs a few extra certified
     iterations — asymmetric risk, so lean high.
 
     Defaults are the measured-best headline configuration (RESULTS.md
-    interleaved ablations): ``pl_iters=32`` (v0=c warm start + the 1.02 L
-    safety margin keeps every instance certified at a quarter of the
-    original 96-step depth), ``split_k=4`` (FMA-folded m-reduction, the
-    build stage's binding VPU resource), ``b_tile=256`` (128 is ~4× slower,
-    320+ exceeds the double-buffered VMEM budget) — so the routed public
-    surface (batch/api.py) and the hand-wired bench measure the same code."""
+    interleaved ablations): ``pl_iters`` 32 at n ≤ 7 (v0=c warm start + the
+    1.02 L safety margin keeps every instance certified at a quarter of the
+    original 96-step depth; wider Grams get the full 96 — their spectra are
+    denser), auto ``(b_tile, m_tile)`` sized to the VMEM budget — so the
+    routed public surface (batch/api.py) and the hand-wired bench measure
+    the same code. ``split_k`` folds the in-brick row reduction (round-3
+    tuning; measured at noise level after the round-4 m-grid redesign)."""
     n, m, B = A.shape
-    if n + 1 > SUBLANE:
-        raise ValueError(
-            f"fused build supports n <= {SUBLANE - 1} features (got {n}); "
-            "use batch.make_gram_batch for wider problems"
-        )
     if split_k < 1:
         raise ValueError(f"split_k must be >= 1 (got {split_k})")
+    auto_bt, auto_mt = _auto_tiles(n, m)
+    if b_tile is None:
+        b_tile = auto_bt
+    b_tile = min(b_tile, _round_up(B, LANE))
+    if m_tile is None:
+        m_tile = auto_mt
+    if m_tile < m and m_tile % SUBLANE:
+        raise ValueError(f"m_tile must be a multiple of {SUBLANE} (or >= m)")
+    m_tile = min(m_tile, m)
+    if pl_iters is None:
+        pl_iters = 32 if n <= 7 else 96
     pB = _round_up(B, b_tile) - B
     Q, c, btb, L = _build(
-        A, b, pl_iters=pl_iters, b_tile=b_tile, interpret=interpret, pB=pB,
-        split_k=split_k,
+        A, b, pl_iters=pl_iters, b_tile=b_tile, m_tile=m_tile,
+        interpret=interpret, pB=pB, split_k=split_k,
     )
     dtype = A.dtype
     a1 = jnp.broadcast_to(jnp.asarray(alpha1, dtype), (B,))

@@ -271,13 +271,37 @@ def test_fused_build_nonmultiple_batch_and_end_to_end():
     assert bool(res.converged.all())
 
 
-def test_fused_build_rejects_wide_problems():
+def test_fused_build_wide_n_matches_xla_and_rejects_past_ceiling():
+    """Round 4: the fused build is generic over n (the old n <= 7 augmented
+    tile is gone) — parity vs the XLA einsum precompute at n = 20 and n = 64,
+    with the explicit VMEM ceiling (~90 features) still failing loudly."""
     import pytest
     from fastoptsolver_tpu.kernels import make_gram_batch_fused
 
-    Afm = jnp.zeros((9, 16, 128), jnp.float32)
+    rng = np.random.default_rng(7)
+    for n, B in ((20, 128), (64, 128)):
+        Afm = jnp.asarray(rng.normal(size=(n, 96, B)), jnp.float32)
+        bfm = jnp.asarray(rng.normal(size=(96, B)), jnp.float32)
+        gb = make_gram_batch_fused(Afm, bfm, alpha1=0.5, alpha2=0.1,
+                                   interpret=True)
+        gb0 = make_gram_batch(
+            jnp.transpose(Afm, (2, 1, 0)), jnp.transpose(bfm, (1, 0)),
+            alpha1=0.5, alpha2=0.1,
+        )
+        np.testing.assert_allclose(np.asarray(gb.Q), np.asarray(gb0.Q),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(gb.c), np.asarray(gb0.c),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(gb.btb), np.asarray(gb0.btb),
+                                   rtol=1e-5)
+        # power-iteration L vs the XLA estimate (both upper-bound-ish; the
+        # fused one carries the 1.02 safety factor)
+        np.testing.assert_allclose(np.asarray(gb.L), np.asarray(gb0.L),
+                                   rtol=0.05)
+
+    Afm = jnp.zeros((120, 16, 128), jnp.float32)
     bfm = jnp.zeros((16, 128), jnp.float32)
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="make_gram_batch"):
         make_gram_batch_fused(Afm, bfm, alpha1=0.1, alpha2=0.0, interpret=True)
 
 
