@@ -147,6 +147,28 @@ def solve_lasso_batch(
     # spend O(B·m·n²) compute and a (n, n, B) HBM tensor on the precompute.
     use_kernel, _ = _kernel_route(n, cfg, backend, interpret)
 
+    # Preferred kernel path: the single-launch fused build+solve kernel
+    # (kernels/fused_solve.py — the Gram never exists in HBM, no per-burst
+    # launches). It implements fixed-momentum certified configs only; its
+    # own guards decide, so routing cannot drift.
+    if use_kernel:
+        from ..kernels.fused_solve import (
+            _check_fused_cfg,
+            auto_tiles_fused,
+            solve_lasso_fused,
+        )
+
+        try:
+            _check_fused_cfg(cfg)
+            auto_tiles_fused(n, A.shape[1])
+        except (NotImplementedError, ValueError):
+            pass
+        else:
+            A_fm = A if feature_major else jnp.transpose(A, (2, 1, 0))
+            b_fm = b if feature_major else jnp.transpose(b, (1, 0))
+            return solve_lasso_fused(A_fm, b_fm, alpha1, alpha2, cfg=cfg,
+                                     interpret=interpret)
+
     # Gram build: the fused one-pass kernel is generic over n (round 4) up
     # to its own VMEM ceiling (~90 features; _auto_tiles raises beyond);
     # past that the XLA einsum precompute takes over regardless of the solve

@@ -150,7 +150,8 @@ def main(argv=None):
     A, b, alpha1 = _build(args.batch, args.m, sort_gen=args.sort == "gen")
 
     modes = args.mode.split(",")
-    known = {"burst", "adaptive", "build-only", "greedy", "delta", "routed"}
+    known = {"burst", "adaptive", "build-only", "greedy", "delta", "routed",
+             "fused1"}
     bad = set(modes) - known
     if bad:
         raise SystemExit(
@@ -173,6 +174,13 @@ def main(argv=None):
         pl_iters, build_tile, split_k = plcfg
 
         def solve():
+            if mode == "fused1":
+                # single-launch build+solve kernel: Q never exists in HBM
+                from ..kernels import solve_lasso_fused
+
+                res = solve_lasso_fused(A, b, alpha1, 0.0, cfg=cfg,
+                                        pl_iters=pl_iters, split_k=split_k)
+                return res.converged, res.iters
             if mode == "routed":
                 # the public one-call surface (batch/api.py) — pl/tile/split
                 # knobs are ignored (the routed path uses the kernel

@@ -226,6 +226,37 @@ def run() -> dict:
 
         check(f"fused_build_n{n_b}", _buildw)
 
+    # 6d. single-launch fused build+solve (round 4: Q never in HBM) — must
+    # certify and agree with the two-kernel path in objective value
+    from ..kernels import solve_lasso_fused
+
+    rngf = np.random.default_rng(42)
+    nf, mf, Bf = 5, 250, 384  # ragged row bricks + non-multiple batch
+    Aff = jnp.asarray(rngf.normal(size=(nf, mf, Bf)), jnp.float32)
+    bff = jnp.asarray(rngf.normal(size=(mf, Bf)), jnp.float32)
+    a1f = 0.1 * jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", Aff, bff)), axis=0)
+    cfg_f1 = BatchFISTAConfig(max_iter=2000, check_every=25, rel_gap_tol=5e-6)
+    res_f1 = solve_lasso_fused(Aff, bff, a1f, 0.0, cfg=cfg_f1, interpret=False)
+    gb_f1 = make_gram_batch_fused(Aff, bff, a1f, 0.0, interpret=False)
+    res_f2 = fista_gram_vmem(gb_f1, cfg_f1, interpret=False)
+
+    def _fused_single():
+        assert bool(np.asarray(res_f1.converged).all()), "fused1 not certified"
+        A64f = np.asarray(Aff, np.float64)
+        b64f = np.asarray(bff, np.float64)
+        a64f = np.asarray(a1f, np.float64)
+
+        def obj(x):
+            r = np.einsum("nmb,nb->mb", A64f, np.asarray(x, np.float64).T) - b64f
+            return 0.5 * np.sum(r * r, 0) + a64f * np.abs(
+                np.asarray(x, np.float64)
+            ).sum(1)
+
+        rel = np.abs(obj(res_f1.x) - obj(res_f2.x)) / np.maximum(obj(res_f2.x), 1.0)
+        assert rel.max() <= 1e-4, f"objective mismatch {rel.max():.2e}"
+
+    check("fused_single_launch", _fused_single)
+
     # 7. in-kernel greedy momentum (per-lane τ in the state rows)
     cfg_g = BatchFISTAConfig(max_iter=60, check_every=0, momentum="greedy")
     ref_g = fista_gram_batch(gb, cfg_g)

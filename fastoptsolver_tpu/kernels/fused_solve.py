@@ -1,0 +1,372 @@
+"""Pallas TPU kernel: the ENTIRE batched-lasso pipeline in one launch.
+
+The two-kernel flagship path (kernels/gram_build.py → kernels/fista_vmem.py)
+writes the (n_pad, n_pad, B) Gram tensor to HBM once and reads it back
+``n_bursts`` times, and pays a kernel-launch + grid prologue per burst —
+measured at B=65k that solve stage costs ~0.9 ms against a ~0.25 ms
+streaming bound (RESULTS.md round 4). This kernel removes both terms
+structurally: **Q never exists in HBM at all.**
+
+Grid ``(B/b_tile, ⌈m/m_tile⌉)``, row axis innermost — identical streaming
+structure to the build kernel (within ~3% of a no-math pure-streaming pass):
+
+- row steps accumulate the symmetric augmented Gram pairs of the tile into a
+  VMEM scratch (ragged last brick masked — OOB contents are unspecified);
+- the LAST row step assembles Q into a second VMEM scratch, runs the
+  Lipschitz power iteration, derives the per-lane step/threshold rows, and
+  then runs the whole certified FISTA solve for this tile — the
+  burst-and-gap-check while loop of kernels/fista_vmem.py's adaptive
+  variant — against the VMEM-resident Q, writing only ``x / iters /
+  rel_gap / converged`` back out.
+
+HBM traffic: A + b read exactly once, O(n·B) outputs. The solve arithmetic
+(~100 iterations × n planes of (8, b_tile) FMAs per tile) is an order of
+magnitude below the tile's own A-brick DMA, so it hides behind the next
+tile's stream the same way the build pairs do.
+
+Per the framework's kernel-guard contract, configurations this kernel does
+not implement (backtracking, adaptive restart, greedy momentum) are rejected
+loudly at entry — the two-kernel path and the XLA driver implement them.
+
+Reference parity: the fixed-step FISTA recurrence of
+``/root/reference/iterative_solvers.py:170-221`` with the same Gram-form
+certification as batch/fista_gram.py; tested against the two-kernel path in
+tests/test_kernels.py and Mosaic-verified on chip by bench/verify_tpu.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..batch.fista_gram import BatchFISTAConfig, BatchResult
+from .fista_vmem import _check_kernel_cfg, momentum_betas
+from .gram_build import _pairs, _round_up
+
+LANE = 128
+SUBLANE = 8
+
+
+def _check_fused_cfg(cfg: BatchFISTAConfig) -> None:
+    _check_kernel_cfg(cfg)
+    if cfg.adaptive_restart or cfg.momentum == "greedy":
+        raise NotImplementedError(
+            "the single-launch fused kernel implements fixed momentum "
+            "(nesterov/delta) only; adaptive restart and greedy momentum run "
+            "on the two-kernel path (make_gram_batch_fused + fista_gram_vmem)"
+        )
+    if cfg.check_every <= 0:
+        raise ValueError(
+            "the single-launch fused kernel certifies in-kernel and needs "
+            "check_every > 0; for fixed-iteration runs use the two-kernel path"
+        )
+
+
+def auto_tiles_fused(n: int, m: int,
+                     vmem_budget_bytes: int = 11 * 1024 * 1024):
+    """(b_tile, m_tile) so input bricks (double-buffered), the pair
+    accumulator, AND the assembled VMEM Gram all fit. The Gram scratch is
+    the extra term vs the build kernel's tiler; the ceiling lands around
+    n ≈ 72 features — wider problems use the two-kernel path."""
+    na = n + 1
+    n_pad = _round_up(max(n, SUBLANE), SUBLANE)
+    npairs_pad = _round_up(na * (na + 1) // 2, SUBLANE)
+    for bt in (1024, 512, 256, 128):
+        q_bytes = n_pad * n_pad * bt * 4  # assembled Gram scratch
+        acc_bytes = npairs_pad * bt * 4
+        state_bytes = 8 * n_pad * bt * 4  # X/Y/grad/… live rows in the solve
+        fixed = q_bytes + acc_bytes + state_bytes
+        if fixed >= vmem_budget_bytes:
+            continue
+        mt_fit = (vmem_budget_bytes - fixed) // (2 * na * bt * 4)
+        if m <= max(mt_fit, 0):
+            return bt, m
+        mt = min((mt_fit // SUBLANE) * SUBLANE, 256)
+        if mt >= 4 * SUBLANE:
+            for d in range(mt, max(SUBLANE, mt // 2) - 1, -SUBLANE):
+                if m % d == 0:
+                    return bt, d
+            return bt, int(mt)
+    raise ValueError(
+        f"fused build+solve kernel: n={n} exceeds the VMEM budget; use the "
+        "two-kernel path (make_gram_batch_fused + fista_gram_vmem) or, past "
+        "its ceiling, the XLA driver."
+    )
+
+
+def _fused_kernel(beta_ref, a1_ref, a2in_ref, A_ref, b_ref,
+                  X_ref, iters_ref, gap_ref, done_ref,
+                  acc_ref, Q_ref, *,
+                  n: int, n_pad: int, m: int, m_tile: int,
+                  pl_iters: int, l_safety: float, t_init_factor: float,
+                  chunk: int, n_bursts: int, tol: float, split_k: int):
+    j = pl.program_id(1)
+    nm = pl.num_programs(1)
+    na = n + 1
+    pairs = _pairs(na)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cols = [A_ref[i] for i in range(n)] + [b_ref[:]]
+    if m % m_tile:
+        valid = m - j * m_tile
+        row_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, cols[0].shape, 0) < valid
+        )
+        cols = [jnp.where(row_ok, col, 0.0) for col in cols]
+
+    mt = cols[0].shape[0]
+    if split_k > 1 and mt % split_k == 0:
+        part = mt // split_k
+
+        def pair_sum(a, b):
+            acc = a[:part] * b[:part]
+            for k in range(1, split_k):
+                acc = acc + a[k * part:(k + 1) * part] * b[k * part:(k + 1) * part]
+            return jnp.sum(acc, axis=0, keepdims=True)
+    else:
+        def pair_sum(a, b):
+            return jnp.sum(a * b, axis=0, keepdims=True)
+
+    zero = jnp.zeros((1,) + cols[0].shape[1:], cols[0].dtype)
+    npairs_pad = acc_ref.shape[0]
+    for gstart in range(0, npairs_pad, SUBLANE):
+        grp = [
+            pair_sum(cols[pairs[p][0]], cols[pairs[p][1]])
+            if p < len(pairs) else zero
+            for p in range(gstart, gstart + SUBLANE)
+        ]
+        chunk_rows = jnp.concatenate(grp, axis=0)
+        acc_ref[gstart:gstart + SUBLANE, :] = (
+            acc_ref[gstart:gstart + SUBLANE, :] + chunk_rows
+        )
+
+    @pl.when(j == nm - 1)
+    def _():
+        def g(i, k):
+            i, k = min(i, k), max(i, k)
+            p = i * na - (i * (i - 1)) // 2 + (k - i)
+            return acc_ref[p:p + 1, :]
+
+        zrow = zero
+        for i in range(n_pad):
+            if i < n:
+                Q_ref[i] = jnp.concatenate(
+                    [g(i, k) if k < n else zrow for k in range(n_pad)],
+                    axis=0,
+                )
+            else:
+                Q_ref[i] = jnp.zeros((n_pad,) + zrow.shape[1:], zrow.dtype)
+        c_vec = jnp.concatenate(
+            [g(i, n) if i < n else zrow for i in range(n_pad)], axis=0
+        )
+        btb = g(n, n)
+
+        def norm(v):
+            return jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+
+        v0 = c_vec / jnp.maximum(norm(c_vec), 1e-30)
+
+        def matvec(v):
+            out = jnp.zeros_like(v)
+            for k in range(n):
+                out += Q_ref[k] * v[k:k + 1, :]
+            return out
+
+        def pstep(_, carry):
+            v, _ = carry
+            w = matvec(v)
+            L = norm(w)
+            return w / jnp.maximum(L, 1e-30), L
+
+        _, L = jax.lax.fori_loop(
+            0, pl_iters, pstep, (v0, jnp.zeros_like(btb))
+        )
+
+        # per-lane solver rows, derived in-register (gram_build.py semantics:
+        # safety-scaled L, degenerate lanes guarded, + alpha2 fold)
+        a1 = a1_ref[:]
+        a2 = a2in_ref[:]
+        L = jnp.where(L > 0.0, l_safety * L, 1.0) + a2
+        tau = t_init_factor / L
+        thr = tau * a1
+
+        # ---- certified FISTA solve against the VMEM-resident Gram ----
+        def rel_gap(X):
+            QX = matvec(X)
+            red = lambda v: jnp.sum(v, axis=0, keepdims=True)
+            xQx = red(X * QX)
+            cx = red(c_vec * X)
+            xx = red(X * X)
+            l1 = red(jnp.abs(X))
+            u = QX - c_vec + a2 * X
+            u_inf = jnp.max(jnp.abs(u), axis=0, keepdims=True)
+            uu = red(u * u)
+            rr = jnp.maximum(xQx - 2.0 * cx + btb, 0.0)
+            rb = cx - btb
+            f = 0.5 * rr + 0.5 * a2 * xx + a1 * l1
+            s = jnp.where(u_inf > a1, a1 / jnp.maximum(u_inf, 1e-30), 1.0)
+            dual_neg = 0.5 * (s * s) * rr + s * rb + 0.5 * a2 * (s * s) * xx
+            l1_gap = jnp.maximum(f + dual_neg, 0.0)
+            smooth_gap = uu / jnp.where(a2 > 0, 2.0 * a2, 1.0)
+            gap = jnp.where(a1 > 0, l1_gap, smooth_gap)
+            return gap / jnp.maximum(f, 1.0)
+
+        def fista_steps(k0, X, Y):
+            def step(i, carry):
+                X, Y = carry
+                grad = matvec(Y) + a2 * Y - c_vec
+                V = Y - tau * grad
+                Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - thr, 0.0)
+                beta = beta_ref[k0 + i]
+                return Xn, Xn + beta * (Xn - X)
+            return jax.lax.fori_loop(0, chunk, step, (X, Y))
+
+        def cond(carry):
+            X, Y, k, done, iters, gap = carry
+            return (k < n_bursts * chunk) & ~jnp.all(done > 0.0)
+
+        def body(carry):
+            X, Y, k, done, iters, gap = carry
+            X, Y = fista_steps(k, X, Y)
+            k = k + chunk
+            gp = rel_gap(X)
+            finite = jnp.all(jnp.isfinite(X), axis=0, keepdims=True)
+            gp = jnp.where(finite, gp, jnp.inf)
+            newly = (done == 0.0) & ((gp <= tol) | ~finite)
+            done = jnp.where(newly, 1.0, done)
+            iters = jnp.where(
+                done == 0.0, jnp.float32(k), jnp.where(newly, jnp.float32(k), iters)
+            )
+            gap = jnp.where(newly | (done == 0.0), gp, gap)
+            return X, Y, k, done, iters, gap
+
+        zstate = jnp.zeros_like(c_vec)
+        zrow1 = jnp.zeros_like(tau)
+        X, Y, k, done, iters, gap = jax.lax.while_loop(
+            cond, body,
+            (zstate, zstate, jnp.zeros((), jnp.int32), zrow1, zrow1,
+             jnp.full_like(tau, jnp.inf)),
+        )
+        X_ref[:] = X
+        gap_ref[:] = gap
+        iters_ref[:] = iters.astype(jnp.int32)
+        done_ref[:] = done.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("b_tile", "m_tile", "pl_iters", "l_safety",
+                     "t_init_factor", "chunk", "n_bursts", "tol", "split_k",
+                     "interpret", "pB"),
+)
+def _run(betas, A, b, a1, a2, *, b_tile, m_tile, pl_iters, l_safety,
+         t_init_factor, chunk, n_bursts, tol, split_k, interpret, pB):
+    n, m, B_orig = A.shape
+    if pB:
+        A = jnp.pad(A, ((0, 0), (0, 0), (0, pB)))
+        b = jnp.pad(b, ((0, 0), (0, pB)))
+        a1 = jnp.pad(a1, (0, pB))
+        a2 = jnp.pad(a2, (0, pB))
+    B = B_orig + pB
+    n_pad = _round_up(max(n, SUBLANE), SUBLANE)
+    na = n + 1
+    npairs_pad = _round_up(na * (na + 1) // 2, SUBLANE)
+    a1r = a1[None, :].astype(A.dtype)
+    a2r = a2[None, :].astype(A.dtype)
+    kern = functools.partial(
+        _fused_kernel, n=n, n_pad=n_pad, m=m, m_tile=m_tile,
+        pl_iters=pl_iters, l_safety=l_safety, t_init_factor=t_init_factor,
+        chunk=chunk, n_bursts=n_bursts, tol=tol, split_k=split_k,
+    )
+    vec = lambda r: pl.BlockSpec(
+        (r, b_tile), lambda i, j, *pf: (0, i), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # betas
+        grid=(B // b_tile, pl.cdiv(m, m_tile)),
+        in_specs=[
+            vec(1),  # alpha1
+            vec(1),  # alpha2
+            pl.BlockSpec((n, m_tile, b_tile), lambda i, j, *pf: (0, j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, b_tile), lambda i, j, *pf: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[vec(n_pad), vec(1), vec(1), vec(1)],
+        scratch_shapes=[
+            pltpu.VMEM((npairs_pad, b_tile), A.dtype),
+            pltpu.VMEM((n_pad, n_pad, b_tile), A.dtype),
+        ],
+    )
+    X, iters, gap, done = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, B), A.dtype),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), A.dtype),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(betas, a1r, a2r, A, b)
+    sl = slice(0, B_orig)
+    failed = ~jnp.all(jnp.isfinite(X[:, sl]), axis=0)
+    return BatchResult(
+        x=X[:n, sl].T,
+        iters=iters[0, sl],
+        rel_gap=gap[0, sl],
+        n_iters_total=jnp.max(iters[0, sl]),
+        converged=(done[0, sl] > 0) & (gap[0, sl] <= tol) & ~failed,
+        failed=failed,
+    )
+
+
+def solve_lasso_fused(
+    A: Array,  # (n, m, B) feature-leading
+    b: Array,  # (m, B)
+    alpha1,
+    alpha2=0.0,
+    cfg: BatchFISTAConfig = BatchFISTAConfig(max_iter=1000, check_every=25,
+                                             rel_gap_tol=1e-6),
+    pl_iters: int | None = None,
+    l_safety: float = 1.02,
+    b_tile: int | None = None,
+    m_tile: int | None = None,
+    split_k: int = 1,
+    interpret: bool = False,
+) -> BatchResult:
+    """Certified batched lasso, raw ``(A, b, α)`` to solutions, ONE kernel
+    launch — the Gram never exists in HBM. Fixed-momentum configs only
+    (``_check_fused_cfg`` rejects the rest; route through
+    ``batch.solve_lasso_batch`` for automatic fallback)."""
+    _check_fused_cfg(cfg)
+    n, m, B = A.shape
+    auto_bt, auto_mt = auto_tiles_fused(n, m)
+    if b_tile is None:
+        b_tile = auto_bt
+    b_tile = min(b_tile, _round_up(B, LANE))
+    if m_tile is None:
+        m_tile = auto_mt
+    m_tile = min(m_tile, m)
+    if pl_iters is None:
+        pl_iters = 32 if n <= 7 else 96
+    chunk = cfg.check_every
+    n_bursts = -(-cfg.max_iter // chunk)
+    betas, _ = momentum_betas(0, n_bursts * chunk, 1.0, cfg)
+    dtype = A.dtype
+    a1 = jnp.broadcast_to(jnp.asarray(alpha1, dtype), (B,))
+    a2 = jnp.broadcast_to(jnp.asarray(alpha2, dtype), (B,))
+    pB = _round_up(B, b_tile) - B
+    return _run(
+        betas, A, b, a1, a2, b_tile=b_tile, m_tile=m_tile,
+        pl_iters=pl_iters, l_safety=l_safety,
+        t_init_factor=cfg.t_init_factor, chunk=chunk, n_bursts=n_bursts,
+        tol=cfg.rel_gap_tol, split_k=split_k, interpret=interpret, pB=pB,
+    )

@@ -646,3 +646,60 @@ def test_vmem_kernel_resume_certified():
         obj(np.asarray(res.x, np.float64)), obj(np.asarray(ref.x, np.float64)),
         rtol=1e-5,
     )
+
+
+def test_single_launch_fused_solve_matches_two_kernel_path():
+    """Round 4: the single-launch build+solve kernel (Q never in HBM) must
+    give the same certified answers as the two-kernel path, at narrow and
+    wide n, including non-multiple batch/row shapes (ragged-brick mask)."""
+    from fastoptsolver_tpu.kernels import (
+        make_gram_batch_fused,
+        fista_gram_vmem,
+        solve_lasso_fused,
+    )
+
+    rng = np.random.default_rng(11)
+    for n, m, B in ((5, 250, 200), (20, 96, 160)):
+        Afm = jnp.asarray(rng.normal(size=(n, m, B)), jnp.float32)
+        xt = np.zeros((n, B), np.float32)
+        xt[: max(n // 4, 1)] = rng.normal(size=(max(n // 4, 1), B))
+        bfm = jnp.einsum("nmb,nb->mb", Afm, jnp.asarray(xt))
+        a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", Afm, bfm)), axis=0)
+        cfg = BatchFISTAConfig(max_iter=2000, check_every=25, rel_gap_tol=5e-6)
+        res1 = solve_lasso_fused(Afm, bfm, a1, 0.0, cfg=cfg, interpret=True)
+        gb = make_gram_batch_fused(Afm, bfm, a1, 0.0, interpret=True)
+        res2 = fista_gram_vmem(gb, cfg, interpret=True)
+        assert bool(np.asarray(res1.converged).all()), (n, "fused not certified")
+        assert bool(np.asarray(res2.converged).all()), (n, "2-kernel not certified")
+        # same pl_iters/l_safety/beta schedule => same trajectory
+        np.testing.assert_allclose(
+            np.asarray(res1.x), np.asarray(res2.x), rtol=1e-5, atol=1e-6
+        )
+        # tau is derived in-kernel here vs XLA-side there: a 1-ulp division
+        # difference can flip a gap check riding the tolerance — allow one
+        # burst of certification-time skew per lane
+        assert (
+            np.abs(np.asarray(res1.iters, np.int64)
+                   - np.asarray(res2.iters, np.int64)).max()
+            <= cfg.check_every
+        )
+
+
+def test_single_launch_fused_solve_guards():
+    import pytest
+    from fastoptsolver_tpu.kernels import solve_lasso_fused
+
+    A = jnp.ones((5, 16, 128), jnp.float32)
+    b = jnp.ones((16, 128), jnp.float32)
+    for bad in (
+        BatchFISTAConfig(max_iter=10, backtracking=True),
+        BatchFISTAConfig(max_iter=10, adaptive_restart=True),
+        BatchFISTAConfig(max_iter=10, momentum="greedy"),
+    ):
+        with pytest.raises((NotImplementedError, ValueError)):
+            solve_lasso_fused(A, b, 0.1, cfg=bad, interpret=True)
+    with pytest.raises(ValueError, match="check_every"):
+        solve_lasso_fused(
+            A, b, 0.1, cfg=BatchFISTAConfig(max_iter=10, check_every=0),
+            interpret=True,
+        )
