@@ -59,14 +59,31 @@ def solve_pipeline_sharded(
         a1 = jnp.pad(a1, (0, pB))
         a2 = jnp.pad(a2, (0, pB))
 
+    # Prefer the single-launch fused kernel per shard (round 4: Q never in
+    # HBM, one launch per device); configs it rejects (restart/greedy) run
+    # the two-kernel build + adaptive-solve path as before.
+    from .fused_solve import _check_fused_cfg, auto_tiles_fused, solve_lasso_fused
+
+    try:
+        _check_fused_cfg(cfg)
+        auto_tiles_fused(n, m)
+        single_launch = True
+    except (NotImplementedError, ValueError):
+        single_launch = False
+
     def local(A_blk, b_blk, a1_blk, a2_blk):
-        gb = make_gram_batch_fused(
-            A_blk, b_blk, a1_blk, a2_blk,
-            b_tile=b_tile_build, interpret=interpret,
-        )
-        res = fista_gram_vmem_adaptive(
-            gb, cfg, b_tile=b_tile_solve, interpret=interpret
-        )
+        if single_launch:
+            res = solve_lasso_fused(
+                A_blk, b_blk, a1_blk, a2_blk, cfg=cfg, interpret=interpret
+            )
+        else:
+            gb = make_gram_batch_fused(
+                A_blk, b_blk, a1_blk, a2_blk,
+                b_tile=b_tile_build, interpret=interpret,
+            )
+            res = fista_gram_vmem_adaptive(
+                gb, cfg, b_tile=b_tile_solve, interpret=interpret
+            )
         return res.x, res.iters, res.rel_gap, res.converged, res.failed
 
     vec = P(axis)
