@@ -236,12 +236,22 @@ def run() -> dict:
     bff = jnp.asarray(rngf.normal(size=(mf, Bf)), jnp.float32)
     a1f = 0.1 * jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", Aff, bff)), axis=0)
     cfg_f1 = BatchFISTAConfig(max_iter=2000, check_every=25, rel_gap_tol=5e-6)
+    # default auto-picks the overlapped (software-pipelined) variant at n=5;
+    # also run the plain one so both Mosaic-compile and certify on chip
     res_f1 = solve_lasso_fused(Aff, bff, a1f, 0.0, cfg=cfg_f1, interpret=False)
+    res_f1p = solve_lasso_fused(Aff, bff, a1f, 0.0, cfg=cfg_f1,
+                                interpret=False, overlap=False)
     gb_f1 = make_gram_batch_fused(Aff, bff, a1f, 0.0, interpret=False)
     res_f2 = fista_gram_vmem(gb_f1, cfg_f1, interpret=False)
 
     def _fused_single():
         assert bool(np.asarray(res_f1.converged).all()), "fused1 not certified"
+        assert bool(np.asarray(res_f1p.converged).all()), (
+            "plain fused1 not certified"
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_f1.x), np.asarray(res_f1p.x), rtol=1e-4, atol=1e-5
+        )
         A64f = np.asarray(Aff, np.float64)
         b64f = np.asarray(bff, np.float64)
         a64f = np.asarray(a1f, np.float64)

@@ -341,13 +341,46 @@ def solve_lasso_fused(
     m_tile: int | None = None,
     split_k: int = 1,
     interpret: bool = False,
+    overlap: bool | None = None,
 ) -> BatchResult:
     """Certified batched lasso, raw ``(A, b, α)`` to solutions, ONE kernel
     launch — the Gram never exists in HBM. Fixed-momentum configs only
     (``_check_fused_cfg`` rejects the rest; route through
-    ``batch.solve_lasso_batch`` for automatic fallback)."""
+    ``batch.solve_lasso_batch`` for automatic fallback).
+
+    ``overlap`` selects the software-pipelined variant (solve of tile i-1
+    overlapped with tile i's DMA — see the module-bottom section); ``None``
+    auto-picks it whenever its (double-buffered) VMEM budget fits."""
     _check_fused_cfg(cfg)
     n, m, B = A.shape
+    if overlap is None or overlap:
+        try:
+            auto_bt_o, auto_mt_o = auto_tiles_overlap(n, m)
+        except ValueError:
+            if overlap:
+                raise
+            overlap = False
+        else:
+            overlap = True
+    if overlap:
+        bt = min(b_tile if b_tile is not None else auto_bt_o,
+                 _round_up(B, LANE))
+        mt = min(m_tile if m_tile is not None else auto_mt_o, m)
+        if pl_iters is None:
+            pl_iters = 32 if n <= 7 else 96
+        chunk = cfg.check_every
+        n_bursts = -(-cfg.max_iter // chunk)
+        betas, _ = momentum_betas(0, n_bursts * chunk, 1.0, cfg)
+        dtype = A.dtype
+        a1 = jnp.broadcast_to(jnp.asarray(alpha1, dtype), (B,))
+        a2 = jnp.broadcast_to(jnp.asarray(alpha2, dtype), (B,))
+        pB = _round_up(B, bt) - B
+        return _run_overlap(
+            betas, A, b, a1, a2, b_tile=bt, m_tile=mt, pl_iters=pl_iters,
+            l_safety=l_safety, t_init_factor=cfg.t_init_factor, chunk=chunk,
+            n_bursts=n_bursts, tol=cfg.rel_gap_tol, split_k=split_k,
+            interpret=interpret, pB=pB,
+        )
     auto_bt, auto_mt = auto_tiles_fused(n, m)
     if b_tile is None:
         b_tile = auto_bt
@@ -369,4 +402,370 @@ def solve_lasso_fused(
         pl_iters=pl_iters, l_safety=l_safety,
         t_init_factor=cfg.t_init_factor, chunk=chunk, n_bursts=n_bursts,
         tol=cfg.rel_gap_tol, split_k=split_k, interpret=interpret, pB=pB,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Software-pipelined variant: solve tile i-1 WHILE streaming tile i's bricks
+# ---------------------------------------------------------------------------
+#
+# The plain kernel above runs the whole solve on a tile's LAST row step;
+# Pallas prefetches only ONE block ahead, so those ~3 µs/tile of solve
+# serialize against the next tile's DMA — measured as the entire remaining
+# ~7% gap to the pure-stream bound at the headline batch (RESULTS.md r04).
+# Here the grid gains one extra lane column and the solve of tile i-1 is cut
+# into ⌈n_bursts/nm⌉-burst slices executed one per row step of column i —
+# genuine compute/DMA overlap expressed in the grid structure itself.
+# Double-buffered Gram/c/row scratches (parity-predicated: Mosaic's support
+# for dynamic leading-index scratch addressing is not relied on) carry tile
+# i's assembly while tile i-1 still solves; the solver state (X/Y planes,
+# done/iters/gap rows, the global iteration counter in SMEM) persists across
+# the column's steps.
+
+
+def auto_tiles_overlap(n: int, m: int,
+                       vmem_budget_bytes: int = 11 * 1024 * 1024):
+    """(b_tile, m_tile) for the overlapped kernel — the double-buffered
+    Gram scratch roughly halves the plain fused kernel's feature ceiling
+    (~n ≤ 56); beyond it the plain single-launch kernel takes over."""
+    na = n + 1
+    n_pad = _round_up(max(n, SUBLANE), SUBLANE)
+    npairs_pad = _round_up(na * (na + 1) // 2, SUBLANE)
+    for bt in (1024, 512, 256, 128):
+        dbl = 2 * (n_pad * n_pad + n_pad + SUBLANE) * bt * 4  # Q/c/rows ×2
+        state = (2 * n_pad + 3) * bt * 4
+        out_bytes = 2 * (n_pad + 3) * bt * 4
+        slack = 3 * n_pad * bt * 4
+        fixed = npairs_pad * bt * 4 + dbl + state + out_bytes + slack
+        if fixed >= vmem_budget_bytes:
+            continue
+        mt_fit = (vmem_budget_bytes - fixed) // (2 * na * bt * 4)
+        if m <= max(mt_fit, 0):
+            return bt, m
+        mt = min((mt_fit // SUBLANE) * SUBLANE, 256)
+        if mt >= 4 * SUBLANE:
+            for d in range(mt, max(SUBLANE, mt // 2) - 1, -SUBLANE):
+                if m % d == 0:
+                    return bt, d
+            return bt, int(mt)
+    raise ValueError(
+        f"overlapped fused kernel: n={n} exceeds the VMEM budget; the plain "
+        "single-launch kernel (overlap=False) covers wider problems."
+    )
+
+
+def _overlap_kernel(beta_ref, a1_ref, a2in_ref, A_ref, b_ref,
+                    X_ref, iters_ref, gap_ref, done_ref,
+                    acc_ref, QA_ref, QB_ref, cA_ref, cB_ref,
+                    rA_ref, rB_ref, Xs_ref, Ys_ref, st_ref, k_ref, *,
+                    n: int, n_pad: int, m: int, m_tile: int, nt: int,
+                    pl_iters: int, l_safety: float, t_init_factor: float,
+                    chunk: int, n_bursts: int, tol: float, split_k: int):
+    i = pl.program_id(0)  # lane column: tile being BUILT (i < nt) — the
+    j = pl.program_id(1)  # extra column i == nt only finishes tile nt-1
+    nm = pl.num_programs(1)
+    na = n + 1
+    pairs = _pairs(na)
+    even = jax.lax.rem(i, jnp.int32(2)) == 0  # tile i buffers: A when even, B when odd
+
+    # ---------------- build phase: accumulate tile i's bricks ----------------
+    @pl.when((i < nt) & (j == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i < nt)
+    def _():
+        cols = [A_ref[f] for f in range(n)] + [b_ref[:]]
+        if m % m_tile:
+            valid = m - j * m_tile
+            row_ok = (
+                jax.lax.broadcasted_iota(jnp.int32, cols[0].shape, 0) < valid
+            )
+            cols = [jnp.where(row_ok, col, 0.0) for col in cols]
+        mt = cols[0].shape[0]
+        if split_k > 1 and mt % split_k == 0:
+            part = mt // split_k
+
+            def pair_sum(a, b):
+                acc = a[:part] * b[:part]
+                for k in range(1, split_k):
+                    acc = acc + a[k * part:(k + 1) * part] * b[k * part:(k + 1) * part]
+                return jnp.sum(acc, axis=0, keepdims=True)
+        else:
+            def pair_sum(a, b):
+                return jnp.sum(a * b, axis=0, keepdims=True)
+
+        zero = jnp.zeros((1,) + cols[0].shape[1:], cols[0].dtype)
+        npairs_pad = acc_ref.shape[0]
+        for gstart in range(0, npairs_pad, SUBLANE):
+            grp = [
+                pair_sum(cols[pairs[p][0]], cols[pairs[p][1]])
+                if p < len(pairs) else zero
+                for p in range(gstart, gstart + SUBLANE)
+            ]
+            chunk_rows = jnp.concatenate(grp, axis=0)
+            acc_ref[gstart:gstart + SUBLANE, :] = (
+                acc_ref[gstart:gstart + SUBLANE, :] + chunk_rows
+            )
+
+    def assemble(Q_ref, c_ref, r_ref):
+        """acc → Q planes + c + [tau, thr, a1, a2, btb] rows for tile i."""
+        def g(ii, kk):
+            ii, kk = min(ii, kk), max(ii, kk)
+            p = ii * na - (ii * (ii - 1)) // 2 + (kk - ii)
+            return acc_ref[p:p + 1, :]
+
+        zrow = jnp.zeros_like(acc_ref[0:1, :])
+        for ii in range(n_pad):
+            if ii < n:
+                Q_ref[ii] = jnp.concatenate(
+                    [g(ii, kk) if kk < n else zrow for kk in range(n_pad)],
+                    axis=0,
+                )
+            else:
+                Q_ref[ii] = jnp.zeros((n_pad,) + zrow.shape[1:], zrow.dtype)
+        c_vec = jnp.concatenate(
+            [g(ii, n) if ii < n else zrow for ii in range(n_pad)], axis=0
+        )
+        c_ref[:] = c_vec
+        btb = g(n, n)
+
+        def norm(v):
+            return jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+
+        v0 = c_vec / jnp.maximum(norm(c_vec), 1e-30)
+
+        def matvec(v):
+            out = jnp.zeros_like(v)
+            for kk in range(n):
+                out += Q_ref[kk] * v[kk:kk + 1, :]
+            return out
+
+        def pstep(_, carry):
+            v, _ = carry
+            w = matvec(v)
+            L = norm(w)
+            return w / jnp.maximum(L, 1e-30), L
+
+        _, L = jax.lax.fori_loop(0, pl_iters, pstep, (v0, jnp.zeros_like(btb)))
+        a1 = a1_ref[:]
+        a2 = a2in_ref[:]
+        L = jnp.where(L > 0.0, l_safety * L, 1.0) + a2
+        tau = t_init_factor / L
+        r_ref[0:1, :] = tau
+        r_ref[1:2, :] = tau * a1
+        r_ref[2:3, :] = a1
+        r_ref[3:4, :] = a2
+        r_ref[4:5, :] = btb
+
+    @pl.when((i < nt) & (j == nm - 1) & even)
+    def _():
+        assemble(QA_ref, cA_ref, rA_ref)
+
+    @pl.when((i < nt) & (j == nm - 1) & ~even)
+    def _():
+        assemble(QB_ref, cB_ref, rB_ref)
+
+    # ---------------- solve phase: one slice of tile i-1 ----------------
+    def solve_slice(Q_ref, c_ref, r_ref):
+        tau = r_ref[0:1, :]
+        thr = r_ref[1:2, :]
+        a1 = r_ref[2:3, :]
+        a2 = r_ref[3:4, :]
+        btb = r_ref[4:5, :]
+        c_vec = c_ref[:]
+
+        def matvec(v):
+            out = jnp.zeros_like(v)
+            for kk in range(n):
+                out += Q_ref[kk] * v[kk:kk + 1, :]
+            return out
+
+        def rel_gap(X):
+            QX = matvec(X)
+            red = lambda v: jnp.sum(v, axis=0, keepdims=True)
+            xQx = red(X * QX)
+            cx = red(c_vec * X)
+            xx = red(X * X)
+            l1 = red(jnp.abs(X))
+            u = QX - c_vec + a2 * X
+            u_inf = jnp.max(jnp.abs(u), axis=0, keepdims=True)
+            uu = red(u * u)
+            rr = jnp.maximum(xQx - 2.0 * cx + btb, 0.0)
+            rb = cx - btb
+            f = 0.5 * rr + 0.5 * a2 * xx + a1 * l1
+            s = jnp.where(u_inf > a1, a1 / jnp.maximum(u_inf, 1e-30), 1.0)
+            dual_neg = 0.5 * (s * s) * rr + s * rb + 0.5 * a2 * (s * s) * xx
+            l1_gap = jnp.maximum(f + dual_neg, 0.0)
+            smooth_gap = uu / jnp.where(a2 > 0, 2.0 * a2, 1.0)
+            gap = jnp.where(a1 > 0, l1_gap, smooth_gap)
+            return gap / jnp.maximum(f, 1.0)
+
+        bursts_per_step = -(-n_bursts // nm)
+        k0 = k_ref[0]
+
+        def fista_chunk(k, X, Y):
+            def step(ii, carry):
+                X, Y = carry
+                grad = matvec(Y) + a2 * Y - c_vec
+                V = Y - tau * grad
+                Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - thr, 0.0)
+                beta = beta_ref[k + ii]
+                return Xn, Xn + beta * (Xn - X)
+            return jax.lax.fori_loop(0, chunk, step, (X, Y))
+
+        def cond(carry):
+            bl, k, X, Y, done, iters, gap = carry
+            return (
+                (bl < bursts_per_step)
+                & (k < n_bursts * chunk)
+                & ~jnp.all(done > 0.0)
+            )
+
+        def body(carry):
+            bl, k, X, Y, done, iters, gap = carry
+            X, Y = fista_chunk(k, X, Y)
+            k = k + chunk
+            gp = rel_gap(X)
+            finite = jnp.all(jnp.isfinite(X), axis=0, keepdims=True)
+            gp = jnp.where(finite, gp, jnp.inf)
+            newly = (done == 0.0) & ((gp <= tol) | ~finite)
+            done = jnp.where(newly, 1.0, done)
+            iters = jnp.where(
+                done == 0.0, jnp.float32(k),
+                jnp.where(newly, jnp.float32(k), iters),
+            )
+            gap = jnp.where(newly | (done == 0.0), gp, gap)
+            return bl + 1, k, X, Y, done, iters, gap
+
+        bl, k, X, Y, done, iters, gap = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), k0, Xs_ref[:], Ys_ref[:],
+             st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :]),
+        )
+        Xs_ref[:] = X
+        Ys_ref[:] = Y
+        st_ref[0:1, :] = done
+        st_ref[1:2, :] = iters
+        st_ref[2:3, :] = gap
+        k_ref[0] = k
+
+    # tile i-1 uses the OTHER parity's buffers
+    @pl.when((i > 0) & ~even)
+    def _():
+        solve_slice(QA_ref, cA_ref, rA_ref)
+
+    @pl.when((i > 0) & even)
+    def _():
+        solve_slice(QB_ref, cB_ref, rB_ref)
+
+    # column's last step: emit tile i-1's results, reset state for tile i
+    @pl.when((i > 0) & (j == nm - 1))
+    def _():
+        X_ref[:] = Xs_ref[:]
+        iters_ref[:] = st_ref[1:2, :].astype(jnp.int32)
+        gap_ref[:] = st_ref[2:3, :]
+        done_ref[:] = st_ref[0:1, :].astype(jnp.int32)
+        Xs_ref[:] = jnp.zeros_like(Xs_ref)
+        Ys_ref[:] = jnp.zeros_like(Ys_ref)
+        st_ref[0:1, :] = jnp.zeros_like(st_ref[0:1, :])
+        st_ref[1:2, :] = jnp.zeros_like(st_ref[1:2, :])
+        st_ref[2:3, :] = jnp.full_like(st_ref[2:3, :], jnp.inf)
+        k_ref[0] = 0
+
+    # very first step: the state scratch starts uninitialized
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        Xs_ref[:] = jnp.zeros_like(Xs_ref)
+        Ys_ref[:] = jnp.zeros_like(Ys_ref)
+        st_ref[0:1, :] = jnp.zeros_like(st_ref[0:1, :])
+        st_ref[1:2, :] = jnp.zeros_like(st_ref[1:2, :])
+        st_ref[2:3, :] = jnp.full_like(st_ref[2:3, :], jnp.inf)
+        k_ref[0] = 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("b_tile", "m_tile", "pl_iters", "l_safety",
+                     "t_init_factor", "chunk", "n_bursts", "tol", "split_k",
+                     "interpret", "pB"),
+)
+def _run_overlap(betas, A, b, a1, a2, *, b_tile, m_tile, pl_iters, l_safety,
+                 t_init_factor, chunk, n_bursts, tol, split_k, interpret, pB):
+    n, m, B_orig = A.shape
+    if pB:
+        A = jnp.pad(A, ((0, 0), (0, 0), (0, pB)))
+        b = jnp.pad(b, ((0, 0), (0, pB)))
+        a1 = jnp.pad(a1, (0, pB))
+        a2 = jnp.pad(a2, (0, pB))
+    B = B_orig + pB
+    n_pad = _round_up(max(n, SUBLANE), SUBLANE)
+    na = n + 1
+    npairs_pad = _round_up(na * (na + 1) // 2, SUBLANE)
+    nt = B // b_tile
+    nm = pl.cdiv(m, m_tile)
+    a1r = a1[None, :].astype(A.dtype)
+    a2r = a2[None, :].astype(A.dtype)
+    kern = functools.partial(
+        _overlap_kernel, n=n, n_pad=n_pad, m=m, m_tile=m_tile, nt=nt,
+        pl_iters=pl_iters, l_safety=l_safety, t_init_factor=t_init_factor,
+        chunk=chunk, n_bursts=n_bursts, tol=tol, split_k=split_k,
+    )
+    # inputs follow the tile being BUILT (clamped on the extra column);
+    # outputs lag one column (tile i-1), revisited across the row steps
+    bi = lambda i, j, *pf: (0, jnp.minimum(i, nt - 1))
+    oi = lambda i, j, *pf: (0, jnp.maximum(i - 1, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # betas
+        grid=(nt + 1, nm),
+        in_specs=[
+            pl.BlockSpec((1, b_tile), bi, memory_space=pltpu.VMEM),  # alpha1
+            pl.BlockSpec((1, b_tile), bi, memory_space=pltpu.VMEM),  # alpha2
+            pl.BlockSpec((n, m_tile, b_tile),
+                         lambda i, j, *pf: (0, j, jnp.minimum(i, nt - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, b_tile),
+                         lambda i, j, *pf: (j, jnp.minimum(i, nt - 1)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_pad, b_tile), oi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile), oi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile), oi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_tile), oi, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((npairs_pad, b_tile), A.dtype),        # acc
+            pltpu.VMEM((n_pad, n_pad, b_tile), A.dtype),      # QA
+            pltpu.VMEM((n_pad, n_pad, b_tile), A.dtype),      # QB
+            pltpu.VMEM((n_pad, b_tile), A.dtype),             # cA
+            pltpu.VMEM((n_pad, b_tile), A.dtype),             # cB
+            pltpu.VMEM((SUBLANE, b_tile), A.dtype),           # rows A
+            pltpu.VMEM((SUBLANE, b_tile), A.dtype),           # rows B
+            pltpu.VMEM((n_pad, b_tile), A.dtype),             # Xs
+            pltpu.VMEM((n_pad, b_tile), A.dtype),             # Ys
+            pltpu.VMEM((3, b_tile), A.dtype),                 # done/iters/gap
+            pltpu.SMEM((1,), jnp.int32),                      # k
+        ],
+    )
+    X, iters, gap, done = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, B), A.dtype),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), A.dtype),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(betas, a1r, a2r, A, b)
+    sl = slice(0, B_orig)
+    failed = ~jnp.all(jnp.isfinite(X[:, sl]), axis=0)
+    return BatchResult(
+        x=X[:n, sl].T,
+        iters=iters[0, sl],
+        rel_gap=gap[0, sl],
+        n_iters_total=jnp.max(iters[0, sl]),
+        converged=(done[0, sl] > 0) & (gap[0, sl] <= tol) & ~failed,
+        failed=failed,
     )

@@ -26,11 +26,20 @@ jax.config.update("jax_platforms", "cpu")
 # float64 available for tight oracle comparisons (explicit dtypes only).
 jax.config.update("jax_enable_x64", True)
 
-# The suite is compile-dominated (dozens of solver configs, each its own XLA
-# program); a persistent on-disk cache makes re-runs near-instant.
-jax.config.update("jax_compilation_cache_dir", "/tmp/fos_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Persistent compile cache: OPT-IN via FOS_COMPILE_CACHE=1. It makes warm
+# re-runs near-instant, but this environment's compile service can move to
+# a machine with different CPU features mid-session, after which cached
+# XLA:CPU AOT executables carry unsupported instructions and SEGFAULT on
+# deserialization (observed 2026-08-21: reproducible crash in
+# jax compilation_cache.get_executable_and_time at the lbfgs sweep program,
+# preceded by cpu_aot_loader "machine type ... doesn't match" warnings;
+# clearing /tmp/fos_tpu_jax_cache did not help — freshly written entries
+# crashed too). Correctness of `pytest tests/` must not depend on that
+# service's placement, so default OFF.
+if os.environ.get("FOS_COMPILE_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fos_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest
@@ -39,3 +48,17 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(session, config, items):
+    """Run test_sweep (the compile-heaviest module) first.
+
+    Background: this environment's XLA:CPU compiler reliably
+    segfaults/aborts inside ``backend_compile_and_load`` once a process has
+    compiled ~265 programs (observed 2026-08-21; independent of the
+    persistent cache, the axon plugin, and of WHICH test sits at that
+    position — the victim program changes with ordering). The suite runs
+    under 4 xdist workers (pyproject addopts) so no process approaches the
+    threshold; fronting the slow sweep fixture also helps xdist scheduling.
+    """
+    items.sort(key=lambda it: 0 if "test_sweep" in it.nodeid else 1)

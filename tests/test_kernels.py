@@ -703,3 +703,41 @@ def test_single_launch_fused_solve_guards():
             A, b, 0.1, cfg=BatchFISTAConfig(max_iter=10, check_every=0),
             interpret=True,
         )
+
+
+def test_overlap_fused_matches_plain_fused_multi_tile():
+    """The software-pipelined variant (solve of tile i-1 overlapped with
+    tile i's bricks, double-buffered scratch, shifted output column) must
+    reproduce the plain single-launch kernel across multiple lane tiles,
+    momentum modes, and elastic-net configs."""
+    from fastoptsolver_tpu.kernels import solve_lasso_fused
+
+    rng = np.random.default_rng(23)
+    n, m, B = 5, 250, 390  # b_tile=128 -> 4 tiles incl. a ragged last one
+    Afm = jnp.asarray(rng.normal(size=(n, m, B)), jnp.float32)
+    xt = np.zeros((n, B), np.float32)
+    xt[:2] = rng.normal(size=(2, B))
+    bfm = jnp.einsum("nmb,nb->mb", Afm, jnp.asarray(xt))
+    a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", Afm, bfm)), axis=0)
+    for cfg, a2 in (
+        (BatchFISTAConfig(max_iter=1500, check_every=25, rel_gap_tol=5e-6), 0.0),
+        (BatchFISTAConfig(max_iter=1500, check_every=25, rel_gap_tol=5e-6,
+                          momentum="delta", delta=3.0), 0.3),
+    ):
+        plain = solve_lasso_fused(Afm, bfm, a1, a2, cfg=cfg, b_tile=128,
+                                  interpret=True, overlap=False)
+        over = solve_lasso_fused(Afm, bfm, a1, a2, cfg=cfg, b_tile=128,
+                                 interpret=True, overlap=True)
+        assert bool(np.asarray(plain.converged).all())
+        assert bool(np.asarray(over.converged).all())
+        # same math and burst schedule; the two programs compile separately,
+        # so allow ulp-level drift (and one burst of certification skew for
+        # tolerance-riding lanes)
+        np.testing.assert_allclose(
+            np.asarray(over.x), np.asarray(plain.x), rtol=1e-5, atol=1e-6
+        )
+        assert (
+            np.abs(np.asarray(over.iters, np.int64)
+                   - np.asarray(plain.iters, np.int64)).max()
+            <= cfg.check_every
+        )
