@@ -115,14 +115,18 @@ def solve_lasso_batch(
     """One call from raw ``(A, b, α)`` to certified batched lasso solutions,
     routed to the fastest execution path the configuration supports.
 
-    This is the library-surface version of what ``bench.py`` hand-wires: the
-    headline throughput (RESULTS.md) should not require knowing the kernel
-    module layout. Routing, in order:
+    This is the library surface behind the headline throughput
+    (RESULTS.md): bench.py calls exactly this function. Routing, in order:
 
-    - **Gram build**: the fused one-pass Pallas kernel
-      (kernels/gram_build.py) when the features fit its ≤7-column augmented
-      tile and the kernel backend is selected; otherwise the XLA einsum
-      precompute (``make_gram_batch``, ``Precision.HIGHEST``).
+    - **Single-launch fused kernel** (kernels/fused_solve.py, the
+      software-pipelined overlap variant when its VMEM budget fits): the
+      whole certified pipeline in ONE pallas_call, the Gram never existing
+      in HBM — chosen when on TPU (or ``interpret``), the config is fixed
+      momentum with in-kernel certification, and n fits its budget.
+    - **Gram build**: otherwise, the fused one-pass Pallas kernel
+      (kernels/gram_build.py — generic over n to its ~88-feature VMEM
+      ceiling) when the kernel backend is selected; past the ceiling the
+      XLA einsum precompute (``make_gram_batch``, ``Precision.HIGHEST``).
     - **Solve**: the VMEM-resident certified kernel
       (kernels/fista_vmem.fista_gram_vmem) when on TPU (or ``interpret``),
       the padded feature count fits the ~104-feature VMEM ceiling

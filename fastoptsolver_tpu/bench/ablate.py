@@ -117,7 +117,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--mode", default="burst",
                     help="one of burst|adaptive|build-only|greedy|delta|"
-                         "routed, or a comma list to interleave MODES within "
+                         "routed|fused1 (the single-launch fused kernel), or "
+                         "a comma list to interleave MODES within "
                          "one process (e.g. 'routed,burst' for the "
                          "routed-vs-hand-wired parity check)")
     ap.add_argument("--sort", default="none",

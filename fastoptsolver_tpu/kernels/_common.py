@@ -1,0 +1,181 @@
+"""Shared in-kernel building blocks for the Pallas TPU kernels.
+
+One source of truth for the pieces that previously existed as per-kernel
+copies (r4 review finding): the ragged-brick column masking, the symmetric
+augmented-Gram pair accumulation, the Q-plane assembly from the pair
+accumulator, the in-kernel power iteration, the Gram-form matvec, the
+relative-duality-gap evaluation (the kernel-layout twin of
+batch/fista_gram._rel_gap — any semantics change there must land here too,
+per the CLAUDE.md oracle-sync rule), and the fixed-momentum FISTA chunk.
+
+All helpers are pure functions of refs/arrays, traced inside kernel bodies;
+they must keep producing the exact op sequences the kernels were verified
+with (tests/test_kernels.py trajectory parity; bench/verify_tpu.py on chip).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SUBLANE = 8
+
+
+def masked_cols(A_ref, b_ref, j, *, n: int, m: int, m_tile: int):
+    """The brick's n feature planes + b as (m_tile, BT) columns, with rows
+    past ``m`` zeroed on the ragged last brick (out-of-bounds block contents
+    are unspecified on hardware; ``where`` also kills NaN/Inf)."""
+    cols = [A_ref[i] for i in range(n)] + [b_ref[:]]
+    if m % m_tile:
+        valid = m - j * m_tile  # > m_tile except on the last row step
+        row_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, cols[0].shape, 0) < valid
+        )
+        cols = [jnp.where(row_ok, col, 0.0) for col in cols]
+    return cols
+
+
+def accumulate_pairs(acc_ref, cols, pairs, split_k: int):
+    """Accumulate the distinct augmented-Gram pair sums of this brick into
+    ``acc_ref`` (one row per upper-triangle pair, SUBLANE-aligned grouped
+    writes). Pair rows are computed INSIDE the group loop so at most SUBLANE
+    are live at once — a fully materialized row list blows Mosaic's
+    scoped-vmem stack at wide n (measured 19-24 MB at n=64).
+
+    ``split_k > 1`` folds the row axis before the tree reduction — an
+    FMA-shaped expression (r3 tuning; measured at noise level after the r4
+    m-grid redesign)."""
+    mt = cols[0].shape[0]
+    if split_k > 1 and mt % split_k == 0:
+        part = mt // split_k
+
+        def pair_sum(a, b):
+            acc = a[:part] * b[:part]
+            for k in range(1, split_k):
+                acc = acc + a[k * part:(k + 1) * part] * b[k * part:(k + 1) * part]
+            return jnp.sum(acc, axis=0, keepdims=True)  # (1, BT)
+    else:
+        def pair_sum(a, b):
+            return jnp.sum(a * b, axis=0, keepdims=True)  # (1, BT)
+
+    zero = jnp.zeros((1,) + cols[0].shape[1:], cols[0].dtype)
+    npairs_pad = acc_ref.shape[0]
+    for gstart in range(0, npairs_pad, SUBLANE):
+        grp = [
+            pair_sum(cols[pairs[p][0]], cols[pairs[p][1]])
+            if p < len(pairs) else zero
+            for p in range(gstart, gstart + SUBLANE)
+        ]
+        chunk_rows = jnp.concatenate(grp, axis=0)
+        acc_ref[gstart:gstart + SUBLANE, :] = (
+            acc_ref[gstart:gstart + SUBLANE, :] + chunk_rows
+        )
+
+
+def acc_entry(acc_ref, na: int):
+    """Reader for the pair accumulator: ``g(i, k)`` returns the (1, BT) row
+    of upper-triangle pair (i, k), straight from the scratch so no
+    persistent value dict inflates the vmem stack."""
+    def g(i, k):
+        i, k = min(i, k), max(i, k)
+        p = i * na - (i * (i - 1)) // 2 + (k - i)
+        return acc_ref[p:p + 1, :]
+
+    return g
+
+
+def write_q_planes(Q_ref, g, *, n: int, n_pad: int):
+    """Assemble the symmetric Gram into ``Q_ref`` ONE PLANE AT A TIME
+    (padded rows/cols zero) — a register-resident full-Q copy at wide n
+    would blow the Mosaic scoped-vmem stack."""
+    zrow = jnp.zeros_like(g(0, 0))
+    for i in range(n_pad):
+        if i < n:
+            Q_ref[i] = jnp.concatenate(
+                [g(i, k) if k < n else zrow for k in range(n_pad)], axis=0
+            )
+        else:
+            Q_ref[i] = jnp.zeros((n_pad,) + zrow.shape[1:], zrow.dtype)
+
+
+def assemble_c(g, *, n: int, n_pad: int):
+    """The augmented column ``c = Aᵀb`` as an (n_pad, BT) plane."""
+    zrow = jnp.zeros_like(g(0, 0))
+    return jnp.concatenate(
+        [g(i, n) if i < n else zrow for i in range(n_pad)], axis=0
+    )
+
+
+def make_matvec(Q_ref, n: int):
+    """Gram matvec against the (VMEM-resident) Q planes, unrolled over the
+    TRUE feature count — planes k >= n are zero padding, so skipping them
+    drops 1 − n/n_pad of the hot-loop FMAs."""
+    def matvec(v):
+        out = jnp.zeros_like(v)
+        for k in range(n):
+            out += Q_ref[k] * v[k:k + 1, :]
+        return out
+
+    return matvec
+
+
+def power_lambda_max(matvec, c_vec, pl_iters: int):
+    """In-kernel power iteration for λ_max, started from c (deterministic,
+    generically non-orthogonal to the dominant eigenvector; its padded rows
+    are zero so the iteration stays in the genuine n-subspace). Returns the
+    per-lane (1, BT) estimate."""
+    def norm(v):
+        return jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+
+    v0 = c_vec / jnp.maximum(norm(c_vec), 1e-30)
+
+    def step(_, carry):
+        v, _ = carry
+        w = matvec(v)
+        L = norm(w)
+        return w / jnp.maximum(L, 1e-30), L
+
+    _, L = jax.lax.fori_loop(
+        0, pl_iters, step, (v0, jnp.zeros_like(c_vec[0:1, :]))
+    )
+    return L
+
+
+def gram_rel_gap(X, matvec, c_vec, a1, a2, btb):
+    """Per-lane relative duality gap in the kernel layout (feature rows on
+    sublanes, instances on lanes; all reductions keepdims). Mirrors
+    batch/fista_gram._rel_gap exactly — keep the two in sync."""
+    QX = matvec(X)
+    red = lambda v: jnp.sum(v, axis=0, keepdims=True)
+    xQx = red(X * QX)
+    cx = red(c_vec * X)
+    xx = red(X * X)
+    l1 = red(jnp.abs(X))
+    u = QX - c_vec + a2 * X
+    u_inf = jnp.max(jnp.abs(u), axis=0, keepdims=True)
+    uu = red(u * u)
+    rr = jnp.maximum(xQx - 2.0 * cx + btb, 0.0)
+    rb = cx - btb
+    f = 0.5 * rr + 0.5 * a2 * xx + a1 * l1
+    s = jnp.where(u_inf > a1, a1 / jnp.maximum(u_inf, 1e-30), 1.0)
+    dual_neg = 0.5 * (s * s) * rr + s * rb + 0.5 * a2 * (s * s) * xx
+    l1_gap = jnp.maximum(f + dual_neg, 0.0)
+    smooth_gap = uu / jnp.where(a2 > 0, 2.0 * a2, 1.0)
+    gap = jnp.where(a1 > 0, l1_gap, smooth_gap)
+    return gap / jnp.maximum(f, 1.0)
+
+
+def fista_fixed_chunk(matvec, beta_ref, c_vec, tau, thr, a2, chunk: int):
+    """``chunk`` fixed-momentum FISTA iterations (β from the scalar-prefetch
+    table at ABSOLUTE iteration indices): ``(k0, X, Y) -> (X, Y)``."""
+    def run(k0, X, Y):
+        def step(i, carry):
+            X, Y = carry
+            grad = matvec(Y) + a2 * Y - c_vec
+            V = Y - tau * grad
+            Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - thr, 0.0)
+            beta = beta_ref[k0 + i]
+            return Xn, Xn + beta * (Xn - X)
+
+        return jax.lax.fori_loop(0, chunk, step, (X, Y))
+
+    return run

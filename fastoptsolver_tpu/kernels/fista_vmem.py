@@ -49,6 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..batch.fista_gram import BatchFISTAConfig, BatchResult, GramBatch, _rel_gap
+from ._common import gram_rel_gap
 
 LANE = 128
 SUBLANE = 8
@@ -193,27 +194,8 @@ def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
     Yo_ref[:] = Y
 
     if with_gap:
-        # mirrors batch/fista_gram.py:_rel_gap, reductions over sublanes
-        a1 = a1_ref[:]
-        btb = btb_ref[:]
-        QX = matvec(X)
-        red = lambda v: jnp.sum(v, axis=0, keepdims=True)
-        xQx = red(X * QX)
-        cx = red(c * X)
-        xx = red(X * X)
-        l1 = red(jnp.abs(X))
-        u = QX - c + a2 * X
-        u_inf = jnp.max(jnp.abs(u), axis=0, keepdims=True)
-        uu = red(u * u)
-        rr = jnp.maximum(xQx - 2.0 * cx + btb, 0.0)
-        rb = cx - btb
-        f = 0.5 * rr + 0.5 * a2 * xx + a1 * l1
-        s = jnp.where(u_inf > a1, a1 / jnp.maximum(u_inf, 1e-30), 1.0)
-        dual_neg = 0.5 * (s * s) * rr + s * rb + 0.5 * a2 * (s * s) * xx
-        l1_gap = jnp.maximum(f + dual_neg, 0.0)
-        smooth_gap = uu / jnp.where(a2 > 0, 2.0 * a2, 1.0)
-        gap = jnp.where(a1 > 0, l1_gap, smooth_gap)
-        gap_ref[:] = gap / jnp.maximum(f, 1.0)
+        # the shared kernel-layout twin of batch/fista_gram._rel_gap
+        gap_ref[:] = gram_rel_gap(X, matvec, c, a1_ref[:], a2, btb_ref[:])
     else:
         gap_ref[:] = jnp.zeros_like(gap_ref)
 
@@ -421,13 +403,16 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, taumin,
         iters=jnp.zeros((B,), jnp.int32),
         gap=jnp.full((B,), jnp.inf, dtype),
     )
-    if certify:
+    if certify and n_bursts > 0:
         state = jax.lax.while_loop(
             lambda s: (s.k < k0 + n_bursts * chunk) & ~jnp.all(s.done),
             burst, state,
         )
         gap = state.gap
     else:
+        # fixed-iteration runs AND zero-burst resumes (state0.k >= max_iter):
+        # certify the carried iterate post-hoc — a resume at/past the budget
+        # must still report the true gap/convergence of X, not inf/False
         state = jax.lax.fori_loop(0, n_bursts, lambda i, s: burst(s), state)
         gb = GramBatch(Q=Q, c=c, btb=btb, alpha1=alpha1, alpha2=a2v, L=alpha1)
         gap = _rel_gap(gb, state.X)
@@ -766,24 +751,8 @@ def _fista_tile_kernel_adaptive(beta_ref, Q_ref, c_ref, tau_ref, thr_ref,
         return out
 
     def rel_gap(X):
-        QX = matvec(X)
-        red = lambda v: jnp.sum(v, axis=0, keepdims=True)
-        xQx = red(X * QX)
-        cx = red(c * X)
-        xx = red(X * X)
-        l1 = red(jnp.abs(X))
-        u = QX - c + a2 * X
-        u_inf = jnp.max(jnp.abs(u), axis=0, keepdims=True)
-        uu = red(u * u)
-        rr = jnp.maximum(xQx - 2.0 * cx + btb, 0.0)
-        rb = cx - btb
-        f = 0.5 * rr + 0.5 * a2 * xx + a1 * l1
-        s = jnp.where(u_inf > a1, a1 / jnp.maximum(u_inf, 1e-30), 1.0)
-        dual_neg = 0.5 * (s * s) * rr + s * rb + 0.5 * a2 * (s * s) * xx
-        l1_gap = jnp.maximum(f + dual_neg, 0.0)
-        smooth_gap = uu / jnp.where(a2 > 0, 2.0 * a2, 1.0)
-        gap = jnp.where(a1 > 0, l1_gap, smooth_gap)
-        return gap / jnp.maximum(f, 1.0)
+        # the shared kernel-layout twin of batch/fista_gram._rel_gap
+        return gram_rel_gap(X, matvec, c, a1, a2, btb)
 
     def fista_steps(k0, X, Y, t, ps):
         def step(i, carry):

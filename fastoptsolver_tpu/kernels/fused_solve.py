@@ -44,6 +44,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..batch.fista_gram import BatchFISTAConfig, BatchResult
+from ._common import (
+    acc_entry,
+    accumulate_pairs,
+    assemble_c,
+    fista_fixed_chunk,
+    gram_rel_gap,
+    make_matvec,
+    masked_cols,
+    power_lambda_max,
+    write_q_planes,
+)
 from .fista_vmem import _check_kernel_cfg, momentum_betas
 from .gram_build import _pairs, _round_up
 
@@ -113,81 +124,17 @@ def _fused_kernel(beta_ref, a1_ref, a2in_ref, A_ref, b_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    cols = [A_ref[i] for i in range(n)] + [b_ref[:]]
-    if m % m_tile:
-        valid = m - j * m_tile
-        row_ok = (
-            jax.lax.broadcasted_iota(jnp.int32, cols[0].shape, 0) < valid
-        )
-        cols = [jnp.where(row_ok, col, 0.0) for col in cols]
-
-    mt = cols[0].shape[0]
-    if split_k > 1 and mt % split_k == 0:
-        part = mt // split_k
-
-        def pair_sum(a, b):
-            acc = a[:part] * b[:part]
-            for k in range(1, split_k):
-                acc = acc + a[k * part:(k + 1) * part] * b[k * part:(k + 1) * part]
-            return jnp.sum(acc, axis=0, keepdims=True)
-    else:
-        def pair_sum(a, b):
-            return jnp.sum(a * b, axis=0, keepdims=True)
-
-    zero = jnp.zeros((1,) + cols[0].shape[1:], cols[0].dtype)
-    npairs_pad = acc_ref.shape[0]
-    for gstart in range(0, npairs_pad, SUBLANE):
-        grp = [
-            pair_sum(cols[pairs[p][0]], cols[pairs[p][1]])
-            if p < len(pairs) else zero
-            for p in range(gstart, gstart + SUBLANE)
-        ]
-        chunk_rows = jnp.concatenate(grp, axis=0)
-        acc_ref[gstart:gstart + SUBLANE, :] = (
-            acc_ref[gstart:gstart + SUBLANE, :] + chunk_rows
-        )
+    cols = masked_cols(A_ref, b_ref, j, n=n, m=m, m_tile=m_tile)
+    accumulate_pairs(acc_ref, cols, pairs, split_k)
 
     @pl.when(j == nm - 1)
     def _():
-        def g(i, k):
-            i, k = min(i, k), max(i, k)
-            p = i * na - (i * (i - 1)) // 2 + (k - i)
-            return acc_ref[p:p + 1, :]
-
-        zrow = zero
-        for i in range(n_pad):
-            if i < n:
-                Q_ref[i] = jnp.concatenate(
-                    [g(i, k) if k < n else zrow for k in range(n_pad)],
-                    axis=0,
-                )
-            else:
-                Q_ref[i] = jnp.zeros((n_pad,) + zrow.shape[1:], zrow.dtype)
-        c_vec = jnp.concatenate(
-            [g(i, n) if i < n else zrow for i in range(n_pad)], axis=0
-        )
+        g = acc_entry(acc_ref, na)
+        write_q_planes(Q_ref, g, n=n, n_pad=n_pad)
+        c_vec = assemble_c(g, n=n, n_pad=n_pad)
         btb = g(n, n)
-
-        def norm(v):
-            return jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
-
-        v0 = c_vec / jnp.maximum(norm(c_vec), 1e-30)
-
-        def matvec(v):
-            out = jnp.zeros_like(v)
-            for k in range(n):
-                out += Q_ref[k] * v[k:k + 1, :]
-            return out
-
-        def pstep(_, carry):
-            v, _ = carry
-            w = matvec(v)
-            L = norm(w)
-            return w / jnp.maximum(L, 1e-30), L
-
-        _, L = jax.lax.fori_loop(
-            0, pl_iters, pstep, (v0, jnp.zeros_like(btb))
-        )
+        matvec = make_matvec(Q_ref, n)
+        L = power_lambda_max(matvec, c_vec, pl_iters)
 
         # per-lane solver rows, derived in-register (gram_build.py semantics:
         # safety-scaled L, degenerate lanes guarded, + alpha2 fold)
@@ -198,35 +145,10 @@ def _fused_kernel(beta_ref, a1_ref, a2in_ref, A_ref, b_ref,
         thr = tau * a1
 
         # ---- certified FISTA solve against the VMEM-resident Gram ----
-        def rel_gap(X):
-            QX = matvec(X)
-            red = lambda v: jnp.sum(v, axis=0, keepdims=True)
-            xQx = red(X * QX)
-            cx = red(c_vec * X)
-            xx = red(X * X)
-            l1 = red(jnp.abs(X))
-            u = QX - c_vec + a2 * X
-            u_inf = jnp.max(jnp.abs(u), axis=0, keepdims=True)
-            uu = red(u * u)
-            rr = jnp.maximum(xQx - 2.0 * cx + btb, 0.0)
-            rb = cx - btb
-            f = 0.5 * rr + 0.5 * a2 * xx + a1 * l1
-            s = jnp.where(u_inf > a1, a1 / jnp.maximum(u_inf, 1e-30), 1.0)
-            dual_neg = 0.5 * (s * s) * rr + s * rb + 0.5 * a2 * (s * s) * xx
-            l1_gap = jnp.maximum(f + dual_neg, 0.0)
-            smooth_gap = uu / jnp.where(a2 > 0, 2.0 * a2, 1.0)
-            gap = jnp.where(a1 > 0, l1_gap, smooth_gap)
-            return gap / jnp.maximum(f, 1.0)
-
-        def fista_steps(k0, X, Y):
-            def step(i, carry):
-                X, Y = carry
-                grad = matvec(Y) + a2 * Y - c_vec
-                V = Y - tau * grad
-                Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - thr, 0.0)
-                beta = beta_ref[k0 + i]
-                return Xn, Xn + beta * (Xn - X)
-            return jax.lax.fori_loop(0, chunk, step, (X, Y))
+        rel_gap = lambda X: gram_rel_gap(X, matvec, c_vec, a1, a2, btb)
+        fista_steps = fista_fixed_chunk(
+            matvec, beta_ref, c_vec, tau, thr, a2, chunk
+        )
 
         def cond(carry):
             X, Y, k, done, iters, gap = carry
@@ -350,9 +272,15 @@ def solve_lasso_fused(
 
     ``overlap`` selects the software-pipelined variant (solve of tile i-1
     overlapped with tile i's DMA — see the module-bottom section); ``None``
-    auto-picks it whenever its (double-buffered) VMEM budget fits."""
+    auto-picks it whenever its (double-buffered) VMEM budget fits AND the
+    batch spans more than one lane tile (with a single tile there is no
+    concurrent build to overlap — the extra grid column would just re-DMA
+    every A brick for nothing)."""
     _check_fused_cfg(cfg)
     n, m, B = A.shape
+    if m_tile is not None and m_tile < m and m_tile % SUBLANE:
+        raise ValueError(f"m_tile must be a multiple of {SUBLANE} (or >= m)")
+    overlap_auto = overlap is None
     if overlap is None or overlap:
         try:
             auto_bt_o, auto_mt_o = auto_tiles_overlap(n, m)
@@ -362,6 +290,11 @@ def solve_lasso_fused(
             overlap = False
         else:
             overlap = True
+    if overlap and overlap_auto:
+        bt_probe = min(b_tile if b_tile is not None else auto_bt_o,
+                       _round_up(B, LANE))
+        if _round_up(B, bt_probe) // bt_probe <= 1:
+            overlap = False  # single lane tile: nothing to overlap
     if overlap:
         bt = min(b_tile if b_tile is not None else auto_bt_o,
                  _round_up(B, LANE))
@@ -475,79 +408,18 @@ def _overlap_kernel(beta_ref, a1_ref, a2in_ref, A_ref, b_ref,
 
     @pl.when(i < nt)
     def _():
-        cols = [A_ref[f] for f in range(n)] + [b_ref[:]]
-        if m % m_tile:
-            valid = m - j * m_tile
-            row_ok = (
-                jax.lax.broadcasted_iota(jnp.int32, cols[0].shape, 0) < valid
-            )
-            cols = [jnp.where(row_ok, col, 0.0) for col in cols]
-        mt = cols[0].shape[0]
-        if split_k > 1 and mt % split_k == 0:
-            part = mt // split_k
-
-            def pair_sum(a, b):
-                acc = a[:part] * b[:part]
-                for k in range(1, split_k):
-                    acc = acc + a[k * part:(k + 1) * part] * b[k * part:(k + 1) * part]
-                return jnp.sum(acc, axis=0, keepdims=True)
-        else:
-            def pair_sum(a, b):
-                return jnp.sum(a * b, axis=0, keepdims=True)
-
-        zero = jnp.zeros((1,) + cols[0].shape[1:], cols[0].dtype)
-        npairs_pad = acc_ref.shape[0]
-        for gstart in range(0, npairs_pad, SUBLANE):
-            grp = [
-                pair_sum(cols[pairs[p][0]], cols[pairs[p][1]])
-                if p < len(pairs) else zero
-                for p in range(gstart, gstart + SUBLANE)
-            ]
-            chunk_rows = jnp.concatenate(grp, axis=0)
-            acc_ref[gstart:gstart + SUBLANE, :] = (
-                acc_ref[gstart:gstart + SUBLANE, :] + chunk_rows
-            )
+        cols = masked_cols(A_ref, b_ref, j, n=n, m=m, m_tile=m_tile)
+        accumulate_pairs(acc_ref, cols, pairs, split_k)
 
     def assemble(Q_ref, c_ref, r_ref):
         """acc → Q planes + c + [tau, thr, a1, a2, btb] rows for tile i."""
-        def g(ii, kk):
-            ii, kk = min(ii, kk), max(ii, kk)
-            p = ii * na - (ii * (ii - 1)) // 2 + (kk - ii)
-            return acc_ref[p:p + 1, :]
-
-        zrow = jnp.zeros_like(acc_ref[0:1, :])
-        for ii in range(n_pad):
-            if ii < n:
-                Q_ref[ii] = jnp.concatenate(
-                    [g(ii, kk) if kk < n else zrow for kk in range(n_pad)],
-                    axis=0,
-                )
-            else:
-                Q_ref[ii] = jnp.zeros((n_pad,) + zrow.shape[1:], zrow.dtype)
-        c_vec = jnp.concatenate(
-            [g(ii, n) if ii < n else zrow for ii in range(n_pad)], axis=0
-        )
+        g = acc_entry(acc_ref, na)
+        write_q_planes(Q_ref, g, n=n, n_pad=n_pad)
+        c_vec = assemble_c(g, n=n, n_pad=n_pad)
         c_ref[:] = c_vec
         btb = g(n, n)
-
-        def norm(v):
-            return jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
-
-        v0 = c_vec / jnp.maximum(norm(c_vec), 1e-30)
-
-        def matvec(v):
-            out = jnp.zeros_like(v)
-            for kk in range(n):
-                out += Q_ref[kk] * v[kk:kk + 1, :]
-            return out
-
-        def pstep(_, carry):
-            v, _ = carry
-            w = matvec(v)
-            L = norm(w)
-            return w / jnp.maximum(L, 1e-30), L
-
-        _, L = jax.lax.fori_loop(0, pl_iters, pstep, (v0, jnp.zeros_like(btb)))
+        matvec = make_matvec(Q_ref, n)
+        L = power_lambda_max(matvec, c_vec, pl_iters)
         a1 = a1_ref[:]
         a2 = a2in_ref[:]
         L = jnp.where(L > 0.0, l_safety * L, 1.0) + a2
@@ -574,45 +446,14 @@ def _overlap_kernel(beta_ref, a1_ref, a2in_ref, A_ref, b_ref,
         a2 = r_ref[3:4, :]
         btb = r_ref[4:5, :]
         c_vec = c_ref[:]
-
-        def matvec(v):
-            out = jnp.zeros_like(v)
-            for kk in range(n):
-                out += Q_ref[kk] * v[kk:kk + 1, :]
-            return out
-
-        def rel_gap(X):
-            QX = matvec(X)
-            red = lambda v: jnp.sum(v, axis=0, keepdims=True)
-            xQx = red(X * QX)
-            cx = red(c_vec * X)
-            xx = red(X * X)
-            l1 = red(jnp.abs(X))
-            u = QX - c_vec + a2 * X
-            u_inf = jnp.max(jnp.abs(u), axis=0, keepdims=True)
-            uu = red(u * u)
-            rr = jnp.maximum(xQx - 2.0 * cx + btb, 0.0)
-            rb = cx - btb
-            f = 0.5 * rr + 0.5 * a2 * xx + a1 * l1
-            s = jnp.where(u_inf > a1, a1 / jnp.maximum(u_inf, 1e-30), 1.0)
-            dual_neg = 0.5 * (s * s) * rr + s * rb + 0.5 * a2 * (s * s) * xx
-            l1_gap = jnp.maximum(f + dual_neg, 0.0)
-            smooth_gap = uu / jnp.where(a2 > 0, 2.0 * a2, 1.0)
-            gap = jnp.where(a1 > 0, l1_gap, smooth_gap)
-            return gap / jnp.maximum(f, 1.0)
+        matvec = make_matvec(Q_ref, n)
+        rel_gap = lambda X: gram_rel_gap(X, matvec, c_vec, a1, a2, btb)
+        fista_chunk = fista_fixed_chunk(
+            matvec, beta_ref, c_vec, tau, thr, a2, chunk
+        )
 
         bursts_per_step = -(-n_bursts // nm)
         k0 = k_ref[0]
-
-        def fista_chunk(k, X, Y):
-            def step(ii, carry):
-                X, Y = carry
-                grad = matvec(Y) + a2 * Y - c_vec
-                V = Y - tau * grad
-                Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - thr, 0.0)
-                beta = beta_ref[k + ii]
-                return Xn, Xn + beta * (Xn - X)
-            return jax.lax.fori_loop(0, chunk, step, (X, Y))
 
         def cond(carry):
             bl, k, X, Y, done, iters, gap = carry

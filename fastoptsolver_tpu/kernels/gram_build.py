@@ -50,6 +50,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..batch.fista_gram import GramBatch
+from ._common import (
+    acc_entry,
+    accumulate_pairs,
+    assemble_c,
+    make_matvec,
+    masked_cols,
+    power_lambda_max,
+    write_q_planes,
+)
 
 LANE = 128
 SUBLANE = 8
@@ -129,101 +138,21 @@ def _gram_tile_kernel(A_ref, b_ref, Q_ref, c_ref, btb_ref, L_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    cols = [A_ref[i] for i in range(n)] + [b_ref[:]]  # each (m_tile, BT)
-    if m % m_tile:
-        # ragged last brick: rows past m are out-of-bounds block padding with
-        # unspecified contents — zero them (jnp.where also kills NaN/Inf)
-        valid = m - j * m_tile  # > m_tile except on the last step
-        row_ok = (
-            jax.lax.broadcasted_iota(jnp.int32, cols[0].shape, 0) < valid
-        )
-        cols = [jnp.where(row_ok, col, 0.0) for col in cols]
-
-    mt = cols[0].shape[0]
-    if split_k > 1 and mt % split_k == 0:
-        part = mt // split_k
-
-        def pair_sum(a, b):
-            acc = a[:part] * b[:part]
-            for k in range(1, split_k):
-                acc = acc + a[k * part:(k + 1) * part] * b[k * part:(k + 1) * part]
-            return jnp.sum(acc, axis=0, keepdims=True)  # (1, BT)
-    else:
-        def pair_sum(a, b):
-            return jnp.sum(a * b, axis=0, keepdims=True)  # (1, BT)
-
-    # accumulate the distinct pair sums, SUBLANE-aligned groups per write;
-    # pair rows are computed INSIDE the group loop so at most SUBLANE of
-    # them are live at once (a fully materialized row list blows Mosaic's
-    # scoped-vmem stack at wide n — measured 19-24 MB at n=64)
-    zero = jnp.zeros((1,) + cols[0].shape[1:], cols[0].dtype)
-    npairs_pad = acc_ref.shape[0]
-    for gstart in range(0, npairs_pad, SUBLANE):
-        grp = [
-            pair_sum(cols[pairs[p][0]], cols[pairs[p][1]])
-            if p < len(pairs) else zero
-            for p in range(gstart, gstart + SUBLANE)
-        ]
-        chunk = jnp.concatenate(grp, axis=0)
-        acc_ref[gstart:gstart + SUBLANE, :] = (
-            acc_ref[gstart:gstart + SUBLANE, :] + chunk
-        )
+    cols = masked_cols(A_ref, b_ref, j, n=n, m=m, m_tile=m_tile)
+    accumulate_pairs(acc_ref, cols, pairs, split_k)
 
     @pl.when(j == nm - 1)
     def _():
-        def g(i, k):
-            # acc row of upper-triangle pair (i, k), read straight from the
-            # scratch so no persistent value dict inflates the vmem stack
-            i, k = min(i, k), max(i, k)
-            p = i * na - (i * (i - 1)) // 2 + (k - i)
-            return acc_ref[p:p + 1, :]
-
-        zrow = zero
-        # Q rows as (n_pad, BT) planes (symmetric; padded rows/cols zero),
-        # written ONE AT A TIME — a full register-resident Q copy at wide n
-        # would blow the Mosaic scoped-vmem stack (measured: n=64 needed
-        # 23.8 MB of the 16 MB budget before this).
-        for i in range(n_pad):
-            if i < n:
-                Q_ref[i] = jnp.concatenate(
-                    [g(i, k) if k < n else zrow for k in range(n_pad)],
-                    axis=0,
-                )
-            else:
-                Q_ref[i] = jnp.zeros((n_pad,) + zrow.shape[1:], zrow.dtype)
-        c_vec = jnp.concatenate(
-            [g(i, n) if i < n else zrow for i in range(n_pad)], axis=0
-        )  # (n_pad, BT)
+        g = acc_entry(acc_ref, na)
+        # Q planes written one at a time; the power iteration then reads the
+        # just-written output block (no extra HBM traffic) — see
+        # kernels/_common.py for the vmem-liveness rationale.
+        write_q_planes(Q_ref, g, n=n, n_pad=n_pad)
+        c_vec = assemble_c(g, n=n, n_pad=n_pad)
         c_ref[:] = c_vec
         btb_ref[:] = g(n, n)
-
-        # Power iteration on the VMEM-resident Gram (reads the just-written
-        # output block — no extra HBM traffic): v0 = c (its padded rows are
-        # already zero, so the iteration stays in the n-subspace).
-        def norm(v):
-            return jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
-
-        v0 = c_vec / jnp.maximum(norm(c_vec), 1e-30)
-
-        def matvec(v):
-            # unroll over the TRUE feature count: planes k >= n are zero
-            # (padding) — same saving as the solve kernel's n_true unroll
-            # (kernels/fista_vmem.py); v stays in the n-subspace
-            out = jnp.zeros_like(v)
-            for k in range(n):
-                out += Q_ref[k] * v[k:k + 1, :]
-            return out
-
-        def step(_, carry):
-            v, _ = carry
-            w = matvec(v)
-            L = norm(w)
-            return w / jnp.maximum(L, 1e-30), L
-
-        _, L = jax.lax.fori_loop(
-            0, pl_iters, step, (v0, jnp.zeros_like(btb_ref[:]))
-        )
-        L_ref[:] = L
+        matvec = make_matvec(Q_ref, n)
+        L_ref[:] = power_lambda_max(matvec, c_vec, pl_iters)
 
 
 @functools.partial(

@@ -741,3 +741,27 @@ def test_overlap_fused_matches_plain_fused_multi_tile():
                    - np.asarray(plain.iters, np.int64)).max()
             <= cfg.check_every
         )
+
+
+def test_vmem_kernel_resume_at_budget_reports_truth():
+    """Resuming with state0.k >= cfg.max_iter must certify the carried
+    iterate post-hoc (r4 review finding: it used to return converged=False,
+    rel_gap=inf even for a fully converged checkpoint)."""
+    A, b = _batch()
+    a1 = 0.1 * np.abs(np.einsum("bmi,bm->bi", A, b)).max(axis=1)
+    gb = make_gram_batch(
+        jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32),
+        jnp.asarray(a1, jnp.float32), 0.0,
+    )
+    cfg = BatchFISTAConfig(max_iter=500, check_every=25, rel_gap_tol=5e-6)
+    res, fin = fista_gram_vmem(gb, cfg, b_tile=128, interpret=True,
+                               return_state=True)
+    assert bool(np.asarray(res.converged).all())
+    # resume with the budget already spent (the early-exited run stopped at
+    # fin.k < 500; cap max_iter there so ZERO bursts remain)
+    cfg0 = BatchFISTAConfig(max_iter=int(fin.k), check_every=25,
+                            rel_gap_tol=5e-6)
+    res2 = fista_gram_vmem(gb, cfg0, b_tile=128, interpret=True, state0=fin)
+    assert bool(np.asarray(res2.converged).all())
+    assert np.asarray(res2.rel_gap).max() <= 5e-6
+    np.testing.assert_array_equal(np.asarray(res2.x), np.asarray(res.x))
