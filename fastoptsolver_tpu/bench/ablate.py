@@ -117,7 +117,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--mode", default="burst",
                     help="one of burst|adaptive|build-only|greedy|delta|"
-                         "routed|fused1 (the single-launch fused kernel), or "
+                         "routed|fused1|fused1-plain (single-launch fused kernel, "
+                         "auto-overlap / forced plain), or "
                          "a comma list to interleave MODES within "
                          "one process (e.g. 'routed,burst' for the "
                          "routed-vs-hand-wired parity check)")
@@ -152,7 +153,7 @@ def main(argv=None):
 
     modes = args.mode.split(",")
     known = {"burst", "adaptive", "build-only", "greedy", "delta", "routed",
-             "fused1"}
+             "fused1", "fused1-plain"}
     bad = set(modes) - known
     if bad:
         raise SystemExit(
@@ -175,12 +176,17 @@ def main(argv=None):
         pl_iters, build_tile, split_k = plcfg
 
         def solve():
-            if mode == "fused1":
-                # single-launch build+solve kernel: Q never exists in HBM
+            if mode in ("fused1", "fused1-plain"):
+                # single-launch build+solve kernel: Q never exists in HBM;
+                # 'fused1' auto-picks the software-pipelined overlap
+                # variant, 'fused1-plain' forces the solve-on-last-brick one
                 from ..kernels import solve_lasso_fused
 
-                res = solve_lasso_fused(A, b, alpha1, 0.0, cfg=cfg,
-                                        pl_iters=pl_iters, split_k=split_k)
+                res = solve_lasso_fused(
+                    A, b, alpha1, 0.0, cfg=cfg, pl_iters=pl_iters,
+                    split_k=split_k,
+                    overlap=None if mode == "fused1" else False,
+                )
                 return res.converged, res.iters
             if mode == "routed":
                 # the public one-call surface (batch/api.py) — pl/tile/split
