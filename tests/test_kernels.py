@@ -765,3 +765,28 @@ def test_vmem_kernel_resume_at_budget_reports_truth():
     assert bool(np.asarray(res2.converged).all())
     assert np.asarray(res2.rel_gap).max() <= 5e-6
     np.testing.assert_array_equal(np.asarray(res2.x), np.asarray(res.x))
+
+
+def test_overlap_auto_falls_back_on_single_tile():
+    """With the whole batch in one lane tile there is nothing to overlap —
+    auto must pick the plain kernel (the extra grid column would re-DMA A
+    for nothing); an EXPLICIT overlap=True is still honored and correct."""
+    from fastoptsolver_tpu.kernels import solve_lasso_fused
+
+    rng = np.random.default_rng(31)
+    n, m, B = 5, 120, 96  # B < 128 -> one lane tile
+    Afm = jnp.asarray(rng.normal(size=(n, m, B)), jnp.float32)
+    bfm = jnp.einsum(
+        "nmb,nb->mb", Afm,
+        jnp.asarray(rng.normal(size=(n, B)), jnp.float32),
+    )
+    a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", Afm, bfm)), axis=0)
+    cfg = BatchFISTAConfig(max_iter=1500, check_every=25, rel_gap_tol=5e-6)
+    auto = solve_lasso_fused(Afm, bfm, a1, 0.0, cfg=cfg, interpret=True)
+    forced = solve_lasso_fused(Afm, bfm, a1, 0.0, cfg=cfg, interpret=True,
+                               overlap=True)
+    assert bool(np.asarray(auto.converged).all())
+    assert bool(np.asarray(forced.converged).all())
+    np.testing.assert_allclose(
+        np.asarray(forced.x), np.asarray(auto.x), rtol=1e-5, atol=1e-6
+    )
