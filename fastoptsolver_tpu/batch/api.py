@@ -121,8 +121,9 @@ def solve_lasso_batch(
     - **Single-launch fused kernel** (kernels/fused_solve.py, the
       software-pipelined overlap variant when its VMEM budget fits): the
       whole certified pipeline in ONE pallas_call, the Gram never existing
-      in HBM — chosen when on TPU (or ``interpret``), the config is fixed
-      momentum with in-kernel certification, and n fits its budget.
+      in HBM — chosen when on TPU (or ``interpret``), the config certifies
+      in-kernel (any momentum mode; backtracking is XLA-driver-only), and
+      n fits its budget.
     - **Gram build**: otherwise, the fused one-pass Pallas kernel
       (kernels/gram_build.py — generic over n to its ~88-feature VMEM
       ceiling) when the kernel backend is selected; past the ceiling the
@@ -153,8 +154,9 @@ def solve_lasso_batch(
 
     # Preferred kernel path: the single-launch fused build+solve kernel
     # (kernels/fused_solve.py — the Gram never exists in HBM, no per-burst
-    # launches). It implements fixed-momentum certified configs only; its
-    # own guards decide, so routing cannot drift.
+    # launches). All momentum modes incl. adaptive restart and greedy run
+    # there (backtracking stays XLA-driver-only); its own guards decide, so
+    # routing cannot drift.
     if use_kernel:
         from ..kernels.fused_solve import (
             _check_fused_cfg,

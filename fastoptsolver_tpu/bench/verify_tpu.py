@@ -244,10 +244,27 @@ def run() -> dict:
     gb_f1 = make_gram_batch_fused(Aff, bff, a1f, 0.0, interpret=False)
     res_f2 = fista_gram_vmem(gb_f1, cfg_f1, interpret=False)
 
+    # restart/greedy run on the plain single-launch kernel (round 4) —
+    # Mosaic-compile and certify them on chip too
+    cfg_f1r = BatchFISTAConfig(max_iter=2000, check_every=25,
+                               rel_gap_tol=5e-6, adaptive_restart=True)
+    cfg_f1g = BatchFISTAConfig(max_iter=2000, check_every=25,
+                               rel_gap_tol=5e-6, momentum="greedy")
+    res_f1r = solve_lasso_fused(Aff, bff, a1f, 0.0, cfg=cfg_f1r,
+                                interpret=False)
+    res_f1g = solve_lasso_fused(Aff, bff, a1f, 0.0, cfg=cfg_f1g,
+                                interpret=False)
+
     def _fused_single():
         assert bool(np.asarray(res_f1.converged).all()), "fused1 not certified"
         assert bool(np.asarray(res_f1p.converged).all()), (
             "plain fused1 not certified"
+        )
+        assert bool(np.asarray(res_f1r.converged).all()), (
+            "fused1 restart not certified"
+        )
+        assert bool(np.asarray(res_f1g.converged).all()), (
+            "fused1 greedy not certified"
         )
         np.testing.assert_allclose(
             np.asarray(res_f1.x), np.asarray(res_f1p.x), rtol=1e-4, atol=1e-5

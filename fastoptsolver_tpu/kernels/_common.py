@@ -179,3 +179,60 @@ def fista_fixed_chunk(matvec, beta_ref, c_vec, tau, thr, a2, chunk: int):
         return jax.lax.fori_loop(0, chunk, step, (X, Y))
 
     return run
+
+
+def fista_general_chunk(matvec, beta_ref, c_vec, tau, thr, a1, a2,
+                        chunk: int, restart_threshold, greedy, taumin):
+    """``chunk`` FISTA iterations in any of the kernel momentum modes,
+    carrying the per-lane state rows: ``(k0, X, Y, t, ps) -> (X, Y, t, ps)``.
+
+    - fixed (``restart_threshold is None and greedy is None``): β from the
+      scalar-prefetch table at absolute indices; t/ps pass through.
+    - adaptive restart: per-lane Nesterov scalar ``t`` + previous step-norm
+      ``ps``; β computed in-register, lanes reset independently
+      (reference iterative_solvers.py:209-217).
+    - greedy (static ``(S, shrink)``): ``t`` carries the per-lane τ, ``ps``
+      the first-step norm; unit momentum, gradient-mapping restart, τ
+      safeguards with floor ``taumin`` (batch/fista_gram.py greedy branch).
+
+    Mirrors kernels/fista_vmem.py's in-kernel step logic exactly.
+    """
+    def run(k0, X, Y, t, ps):
+        def step(i, carry):
+            X, Y, t, ps = carry
+            if greedy is not None:
+                S_val, shrink = greedy
+                grad = matvec(Y) + a2 * Y - c_vec
+                V = Y - t * grad
+                Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - t * a1, 0.0)
+                this = jnp.sqrt(jnp.sum((Xn - X) ** 2, axis=0, keepdims=True))
+                Yn = Xn + (Xn - X)  # unit momentum
+                restart = (
+                    jnp.sum((Y - Xn) * (Xn - X), axis=0, keepdims=True) >= 0.0
+                )
+                Yn = jnp.where(restart, Xn, Yn)
+                ps = jnp.where(ps == 0.0, this, ps)
+                grow = this > S_val * ps
+                t = jnp.where(
+                    grow | restart, jnp.maximum(shrink * t, taumin), t
+                )
+                return Xn, Yn, t, ps
+            grad = matvec(Y) + a2 * Y - c_vec
+            V = Y - tau * grad
+            Xn = jnp.sign(V) * jnp.maximum(jnp.abs(V) - thr, 0.0)
+            if restart_threshold is None:
+                beta = beta_ref[k0 + i]
+                return Xn, Xn + beta * (Xn - X), t, ps
+            this = jnp.sqrt(jnp.sum((Xn - X) ** 2, axis=0, keepdims=True))
+            t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            beta = (t - 1.0) / t_next
+            Yn = Xn + beta * (Xn - X)
+            ratio = jnp.where(ps > 0.0, this / jnp.maximum(ps, 1e-30), jnp.inf)
+            restart = ratio > restart_threshold
+            t_next = jnp.where(restart, 1.0, t_next)
+            Yn = jnp.where(restart, Xn, Yn)
+            return Xn, Yn, t_next, this
+
+        return jax.lax.fori_loop(0, chunk, step, (X, Y, t, ps))
+
+    return run

@@ -25,8 +25,11 @@ magnitude below the tile's own A-brick DMA, so it hides behind the next
 tile's stream the same way the build pairs do.
 
 Per the framework's kernel-guard contract, configurations this kernel does
-not implement (backtracking, adaptive restart, greedy momentum) are rejected
-loudly at entry — the two-kernel path and the XLA driver implement them.
+not implement are rejected loudly at entry: backtracking stays on the XLA
+driver, and the software-pipelined overlap variant is fixed-momentum only
+(adaptive restart and greedy momentum run on the plain single-launch kernel
+via kernels/_common.fista_general_chunk — same per-lane state-row
+recurrences as kernels/fista_vmem.py).
 
 Reference parity: the fixed-step FISTA recurrence of
 ``/root/reference/iterative_solvers.py:170-221`` with the same Gram-form
@@ -49,6 +52,7 @@ from ._common import (
     accumulate_pairs,
     assemble_c,
     fista_fixed_chunk,
+    fista_general_chunk,
     gram_rel_gap,
     make_matvec,
     masked_cols,
@@ -62,13 +66,13 @@ LANE = 128
 SUBLANE = 8
 
 
-def _check_fused_cfg(cfg: BatchFISTAConfig) -> None:
-    _check_kernel_cfg(cfg)
-    if cfg.adaptive_restart or cfg.momentum == "greedy":
+def _check_fused_cfg(cfg: BatchFISTAConfig, overlap: bool = False) -> None:
+    _check_kernel_cfg(cfg)  # rejects backtracking + restart-with-non-nesterov
+    if overlap and (cfg.adaptive_restart or cfg.momentum == "greedy"):
         raise NotImplementedError(
-            "the single-launch fused kernel implements fixed momentum "
-            "(nesterov/delta) only; adaptive restart and greedy momentum run "
-            "on the two-kernel path (make_gram_batch_fused + fista_gram_vmem)"
+            "the software-pipelined (overlap) variant implements fixed "
+            "momentum only; adaptive restart and greedy momentum run on the "
+            "plain single-launch kernel (overlap=False)"
         )
     if cfg.check_every <= 0:
         raise ValueError(
@@ -114,7 +118,8 @@ def _fused_kernel(beta_ref, a1_ref, a2in_ref, A_ref, b_ref,
                   acc_ref, Q_ref, *,
                   n: int, n_pad: int, m: int, m_tile: int,
                   pl_iters: int, l_safety: float, t_init_factor: float,
-                  chunk: int, n_bursts: int, tol: float, split_k: int):
+                  chunk: int, n_bursts: int, tol: float, split_k: int,
+                  restart_threshold=None, greedy=None):
     j = pl.program_id(1)
     nm = pl.num_programs(1)
     na = n + 1
@@ -137,44 +142,64 @@ def _fused_kernel(beta_ref, a1_ref, a2in_ref, A_ref, b_ref,
         L = power_lambda_max(matvec, c_vec, pl_iters)
 
         # per-lane solver rows, derived in-register (gram_build.py semantics:
-        # safety-scaled L, degenerate lanes guarded, + alpha2 fold)
+        # safety-scaled L, degenerate lanes guarded, + alpha2 fold;
+        # t_init_factor is the greedy overshoot xi in greedy mode)
         a1 = a1_ref[:]
         a2 = a2in_ref[:]
         L = jnp.where(L > 0.0, l_safety * L, 1.0) + a2
         tau = t_init_factor / L
         thr = tau * a1
+        taumin = 1.0 / L
 
         # ---- certified FISTA solve against the VMEM-resident Gram ----
         rel_gap = lambda X: gram_rel_gap(X, matvec, c_vec, a1, a2, btb)
-        fista_steps = fista_fixed_chunk(
-            matvec, beta_ref, c_vec, tau, thr, a2, chunk
-        )
+        stateful = (restart_threshold is not None) or (greedy is not None)
+        if stateful:
+            fista_steps = fista_general_chunk(
+                matvec, beta_ref, c_vec, tau, thr, a1, a2, chunk,
+                restart_threshold, greedy, taumin,
+            )
+        else:
+            # the fixed-momentum hot path keeps its lean 2-plane carry
+            fixed_steps = fista_fixed_chunk(
+                matvec, beta_ref, c_vec, tau, thr, a2, chunk
+            )
+
+            def fista_steps(k0, X, Y, t, ps):
+                X, Y = fixed_steps(k0, X, Y)
+                return X, Y, t, ps
 
         def cond(carry):
-            X, Y, k, done, iters, gap = carry
+            X, Y, t, ps, k, done, iters, gap = carry
             return (k < n_bursts * chunk) & ~jnp.all(done > 0.0)
 
         def body(carry):
-            X, Y, k, done, iters, gap = carry
-            X, Y = fista_steps(k, X, Y)
+            X, Y, t, ps, k, done, iters, gap = carry
+            X, Y, t, ps = fista_steps(k, X, Y, t, ps)
             k = k + chunk
             gp = rel_gap(X)
             finite = jnp.all(jnp.isfinite(X), axis=0, keepdims=True)
             gp = jnp.where(finite, gp, jnp.inf)
             newly = (done == 0.0) & ((gp <= tol) | ~finite)
+            if greedy is not None:
+                # stuck-lane safeguard at the check boundary (tau toward 1/L)
+                # — mirrors kernels/fista_vmem.py's adaptive kernel body
+                stuck = (done == 0.0) & ~newly & (gp > 0.9 * gap)
+                t = jnp.where(stuck, jnp.maximum(0.5 * t, taumin), t)
             done = jnp.where(newly, 1.0, done)
             iters = jnp.where(
                 done == 0.0, jnp.float32(k), jnp.where(newly, jnp.float32(k), iters)
             )
             gap = jnp.where(newly | (done == 0.0), gp, gap)
-            return X, Y, k, done, iters, gap
+            return X, Y, t, ps, k, done, iters, gap
 
         zstate = jnp.zeros_like(c_vec)
         zrow1 = jnp.zeros_like(tau)
-        X, Y, k, done, iters, gap = jax.lax.while_loop(
+        t0row = tau if greedy is not None else jnp.ones_like(tau)
+        X, Y, t, ps, k, done, iters, gap = jax.lax.while_loop(
             cond, body,
-            (zstate, zstate, jnp.zeros((), jnp.int32), zrow1, zrow1,
-             jnp.full_like(tau, jnp.inf)),
+            (zstate, zstate, t0row, zrow1, jnp.zeros((), jnp.int32),
+             zrow1, zrow1, jnp.full_like(tau, jnp.inf)),
         )
         X_ref[:] = X
         gap_ref[:] = gap
@@ -186,10 +211,11 @@ def _fused_kernel(beta_ref, a1_ref, a2in_ref, A_ref, b_ref,
     jax.jit,
     static_argnames=("b_tile", "m_tile", "pl_iters", "l_safety",
                      "t_init_factor", "chunk", "n_bursts", "tol", "split_k",
-                     "interpret", "pB"),
+                     "interpret", "pB", "restart_threshold", "greedy"),
 )
 def _run(betas, A, b, a1, a2, *, b_tile, m_tile, pl_iters, l_safety,
-         t_init_factor, chunk, n_bursts, tol, split_k, interpret, pB):
+         t_init_factor, chunk, n_bursts, tol, split_k, interpret, pB,
+         restart_threshold=None, greedy=None):
     n, m, B_orig = A.shape
     if pB:
         A = jnp.pad(A, ((0, 0), (0, 0), (0, pB)))
@@ -206,6 +232,7 @@ def _run(betas, A, b, a1, a2, *, b_tile, m_tile, pl_iters, l_safety,
         _fused_kernel, n=n, n_pad=n_pad, m=m, m_tile=m_tile,
         pl_iters=pl_iters, l_safety=l_safety, t_init_factor=t_init_factor,
         chunk=chunk, n_bursts=n_bursts, tol=tol, split_k=split_k,
+        restart_threshold=restart_threshold, greedy=greedy,
     )
     vec = lambda r: pl.BlockSpec(
         (r, b_tile), lambda i, j, *pf: (0, i), memory_space=pltpu.VMEM
@@ -266,21 +293,31 @@ def solve_lasso_fused(
     overlap: bool | None = None,
 ) -> BatchResult:
     """Certified batched lasso, raw ``(A, b, α)`` to solutions, ONE kernel
-    launch — the Gram never exists in HBM. Fixed-momentum configs only
-    (``_check_fused_cfg`` rejects the rest; route through
-    ``batch.solve_lasso_batch`` for automatic fallback).
+    launch — the Gram never exists in HBM. Any momentum mode with in-kernel
+    certification (backtracking is rejected — route through
+    ``batch.solve_lasso_batch`` for automatic fallback to the XLA driver).
 
     ``overlap`` selects the software-pipelined variant (solve of tile i-1
     overlapped with tile i's DMA — see the module-bottom section); ``None``
-    auto-picks it whenever its (double-buffered) VMEM budget fits AND the
-    batch spans more than one lane tile (with a single tile there is no
-    concurrent build to overlap — the extra grid column would just re-DMA
-    every A brick for nothing)."""
-    _check_fused_cfg(cfg)
+    auto-picks it whenever the config is fixed-momentum (the overlap
+    variant's state scratch does not carry the restart/greedy rows — those
+    modes run on the plain kernel), its (double-buffered) VMEM budget fits,
+    AND the batch spans more than one lane tile (with a single tile there
+    is no concurrent build to overlap — the extra grid column would just
+    re-DMA every A brick for nothing)."""
+    _check_fused_cfg(cfg, overlap=bool(overlap))
     n, m, B = A.shape
     if m_tile is not None and m_tile < m and m_tile % SUBLANE:
         raise ValueError(f"m_tile must be a multiple of {SUBLANE} (or >= m)")
+    restart_threshold = cfg.restart_threshold if cfg.adaptive_restart else None
+    greedy = (
+        (cfg.greedy_S, cfg.greedy_shrink) if cfg.momentum == "greedy" else None
+    )
+    step_factor = cfg.greedy_xi if greedy is not None else cfg.t_init_factor
+    stateful = (restart_threshold is not None) or (greedy is not None)
     overlap_auto = overlap is None
+    if overlap is None and stateful:
+        overlap = False  # plain kernel carries the per-lane momentum rows
     if overlap is None or overlap:
         try:
             auto_bt_o, auto_mt_o = auto_tiles_overlap(n, m)
@@ -333,8 +370,9 @@ def solve_lasso_fused(
     return _run(
         betas, A, b, a1, a2, b_tile=b_tile, m_tile=m_tile,
         pl_iters=pl_iters, l_safety=l_safety,
-        t_init_factor=cfg.t_init_factor, chunk=chunk, n_bursts=n_bursts,
+        t_init_factor=step_factor, chunk=chunk, n_bursts=n_bursts,
         tol=cfg.rel_gap_tol, split_k=split_k, interpret=interpret, pB=pB,
+        restart_threshold=restart_threshold, greedy=greedy,
     )
 
 

@@ -691,17 +691,59 @@ def test_single_launch_fused_solve_guards():
 
     A = jnp.ones((5, 16, 128), jnp.float32)
     b = jnp.ones((16, 128), jnp.float32)
-    for bad in (
-        BatchFISTAConfig(max_iter=10, backtracking=True),
-        BatchFISTAConfig(max_iter=10, adaptive_restart=True),
-        BatchFISTAConfig(max_iter=10, momentum="greedy"),
-    ):
-        with pytest.raises((NotImplementedError, ValueError)):
-            solve_lasso_fused(A, b, 0.1, cfg=bad, interpret=True)
+    with pytest.raises(NotImplementedError, match="backtracking"):
+        solve_lasso_fused(
+            A, b, 0.1, cfg=BatchFISTAConfig(max_iter=10, backtracking=True),
+            interpret=True,
+        )
     with pytest.raises(ValueError, match="check_every"):
         solve_lasso_fused(
             A, b, 0.1, cfg=BatchFISTAConfig(max_iter=10, check_every=0),
             interpret=True,
+        )
+    # restart/greedy run on the PLAIN single-launch kernel (round 4); only
+    # the software-pipelined overlap variant rejects them
+    for stateful in (
+        BatchFISTAConfig(max_iter=10, check_every=5, adaptive_restart=True),
+        BatchFISTAConfig(max_iter=10, check_every=5, momentum="greedy"),
+    ):
+        with pytest.raises(NotImplementedError, match="overlap"):
+            solve_lasso_fused(A, b, 0.1, cfg=stateful, interpret=True,
+                              overlap=True)
+
+
+def test_single_launch_fused_restart_and_greedy_match_two_kernel():
+    """Adaptive restart and greedy momentum on the plain single-launch
+    kernel must reproduce the two-kernel path (same per-lane state-row
+    recurrences, kernels/_common.fista_general_chunk)."""
+    from fastoptsolver_tpu.kernels import (
+        fista_gram_vmem,
+        make_gram_batch_fused,
+        solve_lasso_fused,
+    )
+
+    rng = np.random.default_rng(17)
+    n, m, B = 5, 250, 200
+    Afm = jnp.asarray(rng.normal(size=(n, m, B)), jnp.float32)
+    xt = np.zeros((n, B), np.float32)
+    xt[:2] = rng.normal(size=(2, B))
+    bfm = jnp.einsum("nmb,nb->mb", Afm, jnp.asarray(xt))
+    a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", Afm, bfm)), axis=0)
+    for kw in (dict(adaptive_restart=True), dict(momentum="greedy")):
+        cfg = BatchFISTAConfig(max_iter=2000, check_every=25,
+                               rel_gap_tol=5e-6, **kw)
+        res1 = solve_lasso_fused(Afm, bfm, a1, 0.0, cfg=cfg, interpret=True)
+        gb = make_gram_batch_fused(Afm, bfm, a1, 0.0, interpret=True)
+        res2 = fista_gram_vmem(gb, cfg, interpret=True)
+        assert bool(np.asarray(res1.converged).all()), (kw, "fused1")
+        assert bool(np.asarray(res2.converged).all()), (kw, "2-kernel")
+        np.testing.assert_allclose(
+            np.asarray(res1.x), np.asarray(res2.x), rtol=1e-5, atol=1e-6
+        )
+        assert (
+            np.abs(np.asarray(res1.iters, np.int64)
+                   - np.asarray(res2.iters, np.int64)).max()
+            <= cfg.check_every
         )
 
 
