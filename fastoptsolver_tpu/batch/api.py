@@ -79,7 +79,8 @@ def _kernel_route(n: int, cfg, backend: str, interpret: bool):
 
 
 def solve_gram_batch(gb, cfg=None, backend: str = "auto",
-                     interpret: bool = False):
+                     interpret: bool = False, state0=None,
+                     return_state: bool = False):
     """Route a prebuilt ``GramBatch`` to its fastest supported solver.
 
     ``"auto"``: the VMEM-resident certified kernel
@@ -88,17 +89,49 @@ def solve_gram_batch(gb, cfg=None, backend: str = "auto",
     passes the kernel's own entry guards (backtracking and non-nesterov
     adaptive restart are XLA-driver-only); otherwise the XLA driver
     (``fista_gram_batch``). ``"kernel"`` forces the Pallas path (raises with
-    the guard's reason if unsupported); ``"xla"`` forces the driver."""
-    from .fista_gram import BatchFISTAConfig, fista_gram_batch
+    the guard's reason if unsupported); ``"xla"`` forces the driver.
+
+    ``state0``/``return_state`` give checkpoint/resume through the routed
+    surface. The two paths carry different state types
+    (``kernels.VmemSolveState`` vs ``batch.fista_gram.BatchState``), so a
+    non-None ``state0`` PINS the route to the path that produced it — a
+    checkpoint must resume on the engine whose trajectory it holds."""
+    from .fista_gram import BatchFISTAConfig, BatchState, fista_gram_batch
 
     if cfg is None:
         cfg = BatchFISTAConfig(max_iter=1000, check_every=25, rel_gap_tol=1e-6)
+    if state0 is not None:
+        from ..kernels import VmemSolveState, fista_gram_vmem
+
+        if isinstance(state0, VmemSolveState):
+            if backend == "xla":
+                raise ValueError(
+                    "state0 is a kernel-path VmemSolveState; it cannot "
+                    "resume on backend='xla' (the XLA driver's BatchState "
+                    "carries a different trajectory layout)"
+                )
+            return fista_gram_vmem(gb, cfg, interpret=interpret,
+                                   state0=state0, return_state=return_state)
+        if isinstance(state0, BatchState):
+            if backend == "kernel":
+                raise ValueError(
+                    "state0 is an XLA-driver BatchState; it cannot resume "
+                    "on backend='kernel'"
+                )
+            return fista_gram_batch(gb, cfg, state0=state0,
+                                    return_state=return_state)
+        raise TypeError(
+            f"state0 must be a VmemSolveState or BatchState, got "
+            f"{type(state0).__name__}"
+        )
     use_kernel, _ = _kernel_route(gb.dim, cfg, backend, interpret)
     if use_kernel:
         from ..kernels import fista_gram_vmem
 
-        return fista_gram_vmem(gb, cfg, interpret=interpret)
-    return fista_gram_batch(gb, cfg)
+        return fista_gram_vmem(gb, cfg, interpret=interpret,
+                               return_state=return_state)
+    result = fista_gram_batch(gb, cfg, return_state=return_state)
+    return result
 
 
 def solve_lasso_batch(

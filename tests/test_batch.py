@@ -424,3 +424,45 @@ def test_solve_lasso_batch_routing_guards():
     with pytest.raises(ValueError, match="nesterov"):
         solve_lasso_batch(A, b, a1, cfg=dcfg, backend="kernel",
                           interpret=True)
+
+
+def test_solve_gram_batch_resume_routes_by_state_type():
+    """Checkpoint/resume through the routed surface: a state pins the route
+    to the engine that produced it (the two paths carry different state
+    types); cross-engine resumes fail loudly."""
+    import pytest
+
+    from fastoptsolver_tpu.batch import make_gram_batch, solve_gram_batch
+    from fastoptsolver_tpu.batch.fista_gram import BatchFISTAConfig
+
+    rng = np.random.default_rng(5)
+    A = jnp.asarray(rng.normal(size=(8, 96, 5)), jnp.float32)
+    b = jnp.einsum("bmn,n->bm", A, jnp.asarray([1.0, 0, -0.5, 0, 2.0],
+                                               jnp.float32))
+    a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("bmn,bm->bn", A, b)), axis=1)
+    gb = make_gram_batch(A, b, a1, 0.0)
+    half = BatchFISTAConfig(max_iter=40, check_every=0)
+    full = BatchFISTAConfig(max_iter=100, check_every=0)
+
+    # kernel path: straight == split+resume, bit-exact
+    straight_k = solve_gram_batch(gb, full, backend="kernel", interpret=True)
+    _, mid_k = solve_gram_batch(gb, half, backend="kernel", interpret=True,
+                                return_state=True)
+    res_k = solve_gram_batch(gb, full, interpret=True, state0=mid_k)
+    np.testing.assert_array_equal(np.asarray(res_k.x), np.asarray(straight_k.x))
+
+    # driver path: same contract
+    straight_x = solve_gram_batch(gb, full, backend="xla")
+    _, mid_x = solve_gram_batch(gb, half, backend="xla", return_state=True)
+    res_x = solve_gram_batch(gb, full, state0=mid_x)
+    np.testing.assert_allclose(np.asarray(res_x.x), np.asarray(straight_x.x),
+                               rtol=1e-12, atol=1e-14)
+
+    # cross-engine resumes fail loudly
+    with pytest.raises(ValueError, match="VmemSolveState"):
+        solve_gram_batch(gb, full, backend="xla", state0=mid_k)
+    with pytest.raises(ValueError, match="BatchState"):
+        solve_gram_batch(gb, full, backend="kernel", state0=mid_x,
+                         interpret=True)
+    with pytest.raises(TypeError, match="state0"):
+        solve_gram_batch(gb, full, state0=object())
