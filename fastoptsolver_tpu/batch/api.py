@@ -86,8 +86,9 @@ def solve_gram_batch(gb, cfg=None, backend: str = "auto",
     ``"auto"``: the VMEM-resident certified kernel
     (kernels/fista_vmem.fista_gram_vmem) when on TPU (or ``interpret``), the
     padded feature count fits the ~104-feature VMEM ceiling, and the config
-    passes the kernel's own entry guards (backtracking and non-nesterov
-    adaptive restart are XLA-driver-only); otherwise the XLA driver
+    passes the kernel's own entry guards (every momentum mode runs
+    in-kernel, and — round 5 — so does Armijo backtracking; non-nesterov
+    adaptive restart remains invalid everywhere); otherwise the XLA driver
     (``fista_gram_batch``). ``"kernel"`` forces the Pallas path (raises with
     the guard's reason if unsupported); ``"xla"`` forces the driver.
 
@@ -109,6 +110,14 @@ def solve_gram_batch(gb, cfg=None, backend: str = "auto",
                     "state0 is a kernel-path VmemSolveState; it cannot "
                     "resume on backend='xla' (the XLA driver's BatchState "
                     "carries a different trajectory layout)"
+                )
+            if not (jax.default_backend() == "tpu" or interpret):
+                # same diagnosis _kernel_route gives a fresh solve — a
+                # kernel-state resume off-TPU must fail here, not deep in
+                # Mosaic lowering (ADVICE r4)
+                raise ValueError(
+                    "state0 is a kernel-path VmemSolveState but this host is "
+                    "not on TPU (pass interpret=True to force off-TPU)"
                 )
             return fista_gram_vmem(gb, cfg, interpret=interpret,
                                    state0=state0, return_state=return_state)
@@ -144,6 +153,8 @@ def solve_lasso_batch(
     feature_major: bool = False,
     key=None,
     interpret: bool = False,
+    state0=None,
+    return_state: bool = False,
 ):
     """One call from raw ``(A, b, α)`` to certified batched lasso solutions,
     routed to the fastest execution path the configuration supports.
@@ -155,8 +166,8 @@ def solve_lasso_batch(
       software-pipelined overlap variant when its VMEM budget fits): the
       whole certified pipeline in ONE pallas_call, the Gram never existing
       in HBM — chosen when on TPU (or ``interpret``), the config certifies
-      in-kernel (any momentum mode; backtracking is XLA-driver-only), and
-      n fits its budget.
+      in-kernel (any momentum mode; round 5: Armijo backtracking too, on
+      the plain variant), and n fits its budget.
     - **Gram build**: otherwise, the fused one-pass Pallas kernel
       (kernels/gram_build.py — generic over n to its ~88-feature VMEM
       ceiling) when the kernel backend is selected; past the ceiling the
@@ -164,15 +175,26 @@ def solve_lasso_batch(
     - **Solve**: the VMEM-resident certified kernel
       (kernels/fista_vmem.fista_gram_vmem) when on TPU (or ``interpret``),
       the padded feature count fits the ~104-feature VMEM ceiling
-      (``auto_b_tile``), and the config is kernel-supported (backtracking is
-      XLA-driver-only); otherwise the XLA driver
+      (``auto_b_tile``), and the config is kernel-supported (round 5: that
+      now includes Armijo backtracking); otherwise the XLA driver
       (``fista_gram_batch`` — same math, HBM-streamed).
 
     ``backend``: ``"auto"`` (route as above), ``"kernel"`` (force the Pallas
     path; raises if unsupported), ``"xla"`` (force the driver).
     ``feature_major``: inputs are ``A (n, m, B), b (m, B)`` (the framework's
     native layout — avoids a transpose pass); otherwise ``A (B, m, n),
-    b (B, m)``. Returns a ``BatchResult``.
+    b (B, m)``. Returns a ``BatchResult`` (or ``(result, state)`` with
+    ``return_state``).
+
+    ``state0``/``return_state`` (round 5): checkpoint/resume through THIS
+    routed surface, on whichever engine the router picked. The three engines
+    carry distinct state types — ``kernels.FusedSolveState`` (single-launch
+    fused), ``kernels.VmemSolveState`` (two-kernel burst path), and
+    ``batch.fista_gram.BatchState`` (XLA driver) — and a non-None ``state0``
+    PINS the route to the engine that produced it: a checkpoint must resume
+    on the engine whose trajectory it holds (the engines' Lipschitz
+    estimates differ at the ULP level, which the armijo/greedy recurrences
+    amplify).
     """
     from .fista_gram import BatchFISTAConfig, fista_gram_batch, make_gram_batch
 
@@ -180,6 +202,13 @@ def solve_lasso_batch(
         cfg = BatchFISTAConfig(max_iter=1000, check_every=25, rel_gap_tol=1e-6)
 
     n = A.shape[0] if feature_major else A.shape[-1]
+
+    if state0 is not None:
+        return _resume_lasso_batch(
+            A, b, alpha1, alpha2, cfg, backend, feature_major, key,
+            interpret, state0, return_state,
+        )
+
     # Route BEFORE building the Gram: the decision uses only static
     # shape/config info, and a doomed backend='kernel' call must not first
     # spend O(B·m·n²) compute and a (n, n, B) HBM tensor on the precompute.
@@ -206,20 +235,97 @@ def solve_lasso_batch(
             A_fm = A if feature_major else jnp.transpose(A, (2, 1, 0))
             b_fm = b if feature_major else jnp.transpose(b, (1, 0))
             return solve_lasso_fused(A_fm, b_fm, alpha1, alpha2, cfg=cfg,
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     return_state=return_state)
 
     # Gram build: the fused one-pass kernel is generic over n (round 4) up
     # to its own VMEM ceiling (~90 features; _auto_tiles raises beyond);
     # past that the XLA einsum precompute takes over regardless of the solve
     # path. The kernel's own defaults ARE the measured-best headline
     # configuration (RESULTS.md), so this routed path and bench.py run
-    # identical code.
+    # identical code. Shared with the resume dispatch so a resumed run
+    # rebuilds the bit-identical Gram.
+    gb = _build_gram_routed(A, b, alpha1, alpha2, feature_major, key,
+                            interpret, use_kernel)
+
+    if use_kernel:
+        from ..kernels import fista_gram_vmem
+
+        return fista_gram_vmem(gb, cfg, interpret=interpret,
+                               return_state=return_state)
+    return fista_gram_batch(gb, cfg, return_state=return_state)
+
+
+def _resume_lasso_batch(A, b, alpha1, alpha2, cfg, backend, feature_major,
+                        key, interpret, state0, return_state):
+    """Resume dispatch for :func:`solve_lasso_batch`: the state type pins
+    the engine (see the caller's docstring). The Gram-path engines rebuild
+    the Gram from the same ``(A, b)`` deterministically, so only the solver
+    rows need to round-trip."""
+    from ..kernels import FusedSolveState, VmemSolveState
+    from .fista_gram import BatchState, fista_gram_batch
+
+    n = A.shape[0] if feature_major else A.shape[-1]
+    if isinstance(state0, FusedSolveState):
+        if backend == "xla":
+            raise ValueError(
+                "state0 is a FusedSolveState; it cannot resume on "
+                "backend='xla' (the driver's trajectory differs)"
+            )
+        # the fused engine's own guards decide supportability; resuming a
+        # fused checkpoint on any other engine would silently change the
+        # trajectory, so failures raise rather than fall back
+        from ..kernels.fused_solve import solve_lasso_fused
+
+        _kernel_route(n, cfg, "kernel", interpret)  # raises off-TPU etc.
+        A_fm = A if feature_major else jnp.transpose(A, (2, 1, 0))
+        b_fm = b if feature_major else jnp.transpose(b, (1, 0))
+        return solve_lasso_fused(A_fm, b_fm, alpha1, alpha2, cfg=cfg,
+                                 interpret=interpret, state0=state0,
+                                 return_state=return_state)
+    if isinstance(state0, VmemSolveState):
+        if backend == "xla":
+            raise ValueError(
+                "state0 is a kernel-path VmemSolveState; it cannot resume "
+                "on backend='xla'"
+            )
+        from ..kernels import fista_gram_vmem
+
+        _kernel_route(n, cfg, "kernel", interpret)
+        gb = _build_gram_routed(A, b, alpha1, alpha2, feature_major, key,
+                                interpret, use_kernel=True)
+        return fista_gram_vmem(gb, cfg, interpret=interpret, state0=state0,
+                               return_state=return_state)
+    if isinstance(state0, BatchState):
+        if backend == "kernel":
+            raise ValueError(
+                "state0 is an XLA-driver BatchState; it cannot resume on "
+                "backend='kernel'"
+            )
+        gb = _build_gram_routed(A, b, alpha1, alpha2, feature_major, key,
+                                interpret, use_kernel=False)
+        return fista_gram_batch(gb, cfg, state0=state0,
+                                return_state=return_state)
+    raise TypeError(
+        f"state0 must be a FusedSolveState, VmemSolveState, or BatchState; "
+        f"got {type(state0).__name__}"
+    )
+
+
+def _build_gram_routed(A, b, alpha1, alpha2, feature_major, key, interpret,
+                       use_kernel):
+    """The Gram-precompute stage of :func:`solve_lasso_batch`, shared with
+    the resume dispatch (fused Pallas build where supported, XLA einsum
+    past its ceiling)."""
+    from .fista_gram import make_gram_batch
+
+    n = A.shape[0] if feature_major else A.shape[-1]
     fused_build = False
     if use_kernel:
         from ..kernels.gram_build import _auto_tiles
 
         try:
-            _auto_tiles(n, A.shape[1])  # m is axis 1 in BOTH layouts
+            _auto_tiles(n, A.shape[1])
             fused_build = True
         except ValueError:
             fused_build = False
@@ -228,18 +334,11 @@ def solve_lasso_batch(
 
         A_fm = A if feature_major else jnp.transpose(A, (2, 1, 0))
         b_fm = b if feature_major else jnp.transpose(b, (1, 0))
-        gb = make_gram_batch_fused(A_fm, b_fm, alpha1, alpha2,
-                                   interpret=interpret)
-    else:
-        A_im = jnp.transpose(A, (2, 1, 0)) if feature_major else A
-        b_im = jnp.transpose(b, (1, 0)) if feature_major else b
-        gb = make_gram_batch(A_im, b_im, alpha1, alpha2, key=key)
-
-    if use_kernel:
-        from ..kernels import fista_gram_vmem
-
-        return fista_gram_vmem(gb, cfg, interpret=interpret)
-    return fista_gram_batch(gb, cfg)
+        return make_gram_batch_fused(A_fm, b_fm, alpha1, alpha2,
+                                     interpret=interpret)
+    A_im = jnp.transpose(A, (2, 1, 0)) if feature_major else A
+    b_im = jnp.transpose(b, (1, 0)) if feature_major else b
+    return make_gram_batch(A_im, b_im, alpha1, alpha2, key=key)
 
 
 def solve_batch(

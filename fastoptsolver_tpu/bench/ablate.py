@@ -118,10 +118,13 @@ def main(argv=None):
     ap.add_argument("--mode", default="burst",
                     help="one of burst|adaptive|build-only|greedy|delta|"
                          "routed|fused1|fused1-plain (single-launch fused kernel, "
-                         "auto-overlap / forced plain), or "
+                         "auto-overlap / forced plain)|driver (fused build + "
+                         "XLA fista_gram_batch solve), or "
                          "a comma list to interleave MODES within "
                          "one process (e.g. 'routed,burst' for the "
-                         "routed-vs-hand-wired parity check)")
+                         "routed-vs-hand-wired parity check, or "
+                         "'burst,driver --backtracking' for the "
+                         "kernel-armijo vs driver-armijo A/B)")
     ap.add_argument("--sort", default="none",
                     choices=["none", "gap1", "L", "alpha", "gen"])
     ap.add_argument("--check-every", type=int, default=25)
@@ -137,6 +140,15 @@ def main(argv=None):
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--restart", action="store_true",
                     help="nesterov + in-kernel adaptive restart")
+    ap.add_argument("--backtracking", action="store_true",
+                    help="reference-semantics Armijo line search (round 5: "
+                         "runs in-kernel on burst/fused1-plain/routed; on "
+                         "the XLA driver in 'driver' mode)")
+    ap.add_argument("--max-iter", type=int, default=1000,
+                    help="iteration budget (armijo configs stall above the "
+                         "reference's ~1e-4 suboptimality and never certify "
+                         "at 1e-6 — cap the budget for A/Bs)")
+    ap.add_argument("--tol", type=float, default=1e-6)
     args = ap.parse_args(argv)
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fos_bench_cache")
@@ -153,7 +165,7 @@ def main(argv=None):
 
     modes = args.mode.split(",")
     known = {"burst", "adaptive", "build-only", "greedy", "delta", "routed",
-             "fused1", "fused1-plain"}
+             "fused1", "fused1-plain", "driver"}
     bad = set(modes) - known
     if bad:
         raise SystemExit(
@@ -168,8 +180,11 @@ def main(argv=None):
             kw = dict(momentum="greedy")
         if args.restart:
             kw["adaptive_restart"] = True
-        return BatchFISTAConfig(max_iter=1000, check_every=args.check_every,
-                                rel_gap_tol=1e-6, **kw)
+        if args.backtracking:
+            kw["backtracking"] = True
+        return BatchFISTAConfig(max_iter=args.max_iter,
+                                check_every=args.check_every,
+                                rel_gap_tol=args.tol, **kw)
 
     def make_solve(mode, plcfg):
         cfg = make_cfg(mode)
@@ -202,6 +217,15 @@ def main(argv=None):
                                        b_tile=build_tile, split_k=split_k)
             if mode == "build-only":
                 return gb.Q, None
+            if mode == "driver":
+                # HBM-streamed XLA solve (batch/fista_gram.py) after the
+                # fused build — the fallback path an armijo config used to
+                # silently take; its headline-scale cost was unmeasured
+                # before round 5 (r4 verdict item 1)
+                from ..batch.fista_gram import fista_gram_batch
+
+                res = fista_gram_batch(gb, cfg)
+                return res.converged, res.iters
             if mode == "adaptive":
                 if args.sort not in ("none", "gen"):  # gen sorts at generation
                     if args.sort == "gap1":

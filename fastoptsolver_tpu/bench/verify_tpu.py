@@ -295,6 +295,52 @@ def run() -> dict:
         ),
     )
 
+    # 7b. in-kernel Armijo backtracking (round 5): decisive regime — an
+    # understated L makes every accept/reject decision carry real margin, so
+    # the Mosaic-compiled masked search must reproduce the XLA driver's
+    # trajectory AND its per-lane accepted τ (outside this regime the
+    # recurrence is measurably chaotic — tests/test_kernel_armijo.py pins
+    # that with a perturbation experiment; on-chip we assert the
+    # deterministic contract).
+    import dataclasses as _dc
+
+    gb_low = _dc.replace(gb, L=gb.L / 4.0)
+    cfg_arm = BatchFISTAConfig(max_iter=5, check_every=0, backtracking=True)
+    ref_arm, rs_arm = fista_gram_batch(gb_low, cfg_arm, return_state=True)
+    got_arm, gs_arm = fista_gram_vmem(
+        gb_low, cfg_arm, b_tile=128, interpret=False, return_state=True
+    )
+
+    def _armijo():
+        np.testing.assert_allclose(
+            np.asarray(got_arm.x), np.asarray(ref_arm.x), rtol=2e-4, atol=2e-4
+        )
+        tau0 = 4.0 / np.asarray(gb.L)
+        assert np.all(np.asarray(rs_arm.tau) < 0.9 * tau0), "search never fired"
+        np.testing.assert_allclose(
+            np.asarray(gs_arm.tau)[0], np.asarray(rs_arm.tau), rtol=1e-5
+        )
+
+    check("kernel_armijo", _armijo)
+
+    # 7c. fused single-launch armijo vs the two-kernel path: identical
+    # in-kernel float sequences ⇒ bit-exact equality must hold ON CHIP too
+    cfg_arm_f = BatchFISTAConfig(max_iter=6, check_every=6, rel_gap_tol=1e-6,
+                                 backtracking=True, t_init_factor=4.0)
+    res_arm_f = solve_lasso_fused(Aff, bff, a1f, 0.0, cfg=cfg_arm_f,
+                                  interpret=False, split_k=1, b_tile=128)
+    gb_arm_f = make_gram_batch_fused(Aff, bff, a1f, 0.0, interpret=False,
+                                     split_k=1)
+    ref_arm_f = fista_gram_vmem(gb_arm_f, cfg_arm_f, b_tile=128,
+                                interpret=False)
+
+    def _armijo_fused():
+        np.testing.assert_array_equal(
+            np.asarray(res_arm_f.x), np.asarray(ref_arm_f.x)
+        )
+
+    check("fused_armijo", _armijo_fused)
+
     # 8. wide problems at the auto-tiled feature ceiling (certified solves).
     # The contract at wide n: BOTH the XLA driver and the Mosaic kernel
     # certify, their certificates survive an independent float64 NumPy

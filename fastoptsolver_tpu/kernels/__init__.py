@@ -1,5 +1,5 @@
 from .gram_build import make_gram_batch_fused
-from .fused_solve import solve_lasso_fused
+from .fused_solve import FusedSolveState, solve_lasso_fused
 from .pipeline import solve_pipeline_sharded
 from .fista_vmem import (
     fista_gram_vmem,
@@ -12,6 +12,7 @@ from .fista_vmem import (
 
 __all__ = [
     "make_gram_batch_fused",
+    "FusedSolveState",
     "solve_lasso_fused",
     "solve_pipeline_sharded",
     "fista_gram_vmem",

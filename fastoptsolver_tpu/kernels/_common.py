@@ -181,6 +181,86 @@ def fista_fixed_chunk(matvec, beta_ref, c_vec, tau, thr, a2, chunk: int):
     return run
 
 
+def fista_armijo_chunk(matvec, beta_ref, c_vec, a1, a2, btb, chunk: int,
+                       restart_threshold, armijo):
+    """``chunk`` FISTA iterations with the reference-semantics masked
+    per-lane Armijo backtracking line search run IN-KERNEL:
+    ``(k0, X, Y, t, ps, tau) -> (X, Y, t, ps, tau)`` where ``tau`` is the
+    per-lane (1, BT) step row — a lane's accepted τ persists across
+    iterations and never grows (reference iterative_solvers.py:183-197,
+    C=1e-2, shrink η=0.5; the sufficient-decrease test, NOT the
+    Beck–Teboulle quadratic bound).
+
+    Mirrors batch/fista_gram._iterate_block's backtracking branch exactly in
+    the kernel layout (feature rows on sublanes, instances on lanes, all
+    reductions keepdims): one Gram matvec for the gradient, then a bounded
+    ``lax.while_loop`` of trial rounds — ONE extra Gram matvec per round,
+    all lanes in lockstep, lanes accepting independently via masks. The
+    smooth value g(·) includes the ½·bᵀb term like the driver's (it cancels
+    in the Armijo inequality but keeps the two float paths aligned).
+
+    ``armijo`` is the static triple ``(C, eta, max_backtracks)``;
+    ``restart_threshold is None`` selects table-β momentum (nesterov
+    without restart, or FISTA-Δ), else the per-lane Nesterov/adaptive-restart
+    recurrence of :func:`fista_general_chunk`."""
+    C, eta, max_bt = armijo
+    red = lambda v: jnp.sum(v, axis=0, keepdims=True)
+
+    def run(k0, X, Y, t, ps, tau):
+        def step(i, carry):
+            X, Y, t, ps, tau = carry
+            QY = matvec(Y)
+            grad = QY + a2 * Y - c_vec
+            g_y = (
+                0.5 * red(Y * QY) - red(c_vec * Y) + 0.5 * btb
+                + 0.5 * a2 * red(Y * Y)
+            )
+
+            def trial(tv):
+                V = Y - tv * grad
+                Xc = jnp.sign(V) * jnp.maximum(jnp.abs(V) - tv * a1, 0.0)
+                QX = matvec(Xc)
+                g_x = (
+                    0.5 * red(Xc * QX) - red(c_vec * Xc) + 0.5 * btb
+                    + 0.5 * a2 * red(Xc * Xc)
+                )
+                ok = g_x <= g_y + C * red(grad * (Xc - Y))
+                return Xc, ok
+
+            X0t, ok0 = trial(tau)
+
+            def bt_cond(cr):
+                tv, Xc, acc, kbt = cr
+                return jnp.any(~acc) & (kbt < max_bt)
+
+            def bt_body(cr):
+                tv, Xc, acc, kbt = cr
+                tv_n = jnp.where(acc, tv, eta * tv)
+                Xt, ok = trial(tv_n)
+                return tv_n, jnp.where(acc, Xc, Xt), acc | ok, kbt + 1
+
+            tau_n, Xn, _, _ = jax.lax.while_loop(
+                bt_cond, bt_body,
+                (tau, X0t, ok0, jnp.zeros((), jnp.int32)),
+            )
+            if restart_threshold is None:
+                beta = beta_ref[k0 + i]
+                return Xn, Xn + beta * (Xn - X), t, ps, tau_n
+            this = jnp.sqrt(jnp.sum((Xn - X) ** 2, axis=0, keepdims=True))
+            t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            beta = (t - 1.0) / t_next
+            Yn = Xn + beta * (Xn - X)
+            ratio = jnp.where(ps > 0.0, this / jnp.maximum(ps, 1e-30), jnp.inf)
+            restart = ratio > restart_threshold
+            t_next = jnp.where(restart, 1.0, t_next)
+            Yn = jnp.where(restart, Xn, Yn)
+            return Xn, Yn, t_next, this, tau_n
+
+        return jax.lax.fori_loop(0, chunk, step, (X, Y, t, ps, tau))
+
+    return run
+
+
 def fista_general_chunk(matvec, beta_ref, c_vec, tau, thr, a1, a2,
                         chunk: int, restart_threshold, greedy, taumin):
     """``chunk`` FISTA iterations in any of the kernel momentum modes,

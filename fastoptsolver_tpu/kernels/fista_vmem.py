@@ -31,9 +31,12 @@ single-digit ms).
 
 Reference parity: computes exactly the fixed-step FISTA recurrence of
 ``/root/reference/iterative_solvers.py:170-221``, including the adaptive
-restart of ``:209-217`` (per-lane t/prev-step rows, β computed in-register;
-backtracking runs on the XLA driver), verified against the NumPy oracle and
-the XLA path in tests/test_kernels.py.
+restart of ``:209-217`` (per-lane t/prev-step rows, β computed in-register)
+and — round 5 — the masked per-lane Armijo backtracking of ``:183-197``
+(kernels/_common.fista_armijo_chunk, one extra Gram matvec per trial round,
+per-lane accepted-τ row persisted across bursts), verified against the
+NumPy oracle and the XLA path in tests/test_kernels.py and
+tests/test_kernel_armijo.py.
 """
 from __future__ import annotations
 
@@ -49,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..batch.fista_gram import BatchFISTAConfig, BatchResult, GramBatch, _rel_gap
-from ._common import gram_rel_gap
+from ._common import fista_armijo_chunk, gram_rel_gap
 
 LANE = 128
 SUBLANE = 8
@@ -59,26 +62,39 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _check_kernel_cfg(cfg: BatchFISTAConfig) -> None:
+def _check_kernel_cfg(cfg: BatchFISTAConfig, backtracking_ok: bool = True) -> None:
     """Entry guard shared by every vmem kernel path: a config option the
     kernel does not implement must fail loudly, never silently degrade to a
     different algorithm (the XLA driver, batch/fista_gram.py, implements
-    everything)."""
-    if cfg.backtracking:
+    everything). Round 5: the burst kernel, the sharded kernel, and the
+    plain single-launch fused kernel run the masked per-lane Armijo search
+    in-kernel (kernels/_common.fista_armijo_chunk); the per-tile adaptive
+    kernel and the software-pipelined overlap variant still reject it
+    (``backtracking_ok=False``)."""
+    if cfg.backtracking and not backtracking_ok:
         raise NotImplementedError(
-            "backtracking runs on the XLA driver "
-            "(batch.fista_gram.fista_gram_batch); the vmem kernel is "
-            "fixed-step"
+            "backtracking runs on the burst vmem kernel, the plain "
+            "single-launch fused kernel, or the XLA driver "
+            "(batch.fista_gram.fista_gram_batch) — not on this variant"
         )
     if cfg.adaptive_restart and cfg.momentum != "nesterov":
         raise ValueError("adaptive restart applies to nesterov momentum only")
+
+
+def _armijo_static(cfg: BatchFISTAConfig):
+    """Static (C, η, max_backtracks) triple for the in-kernel Armijo search,
+    or None when the config doesn't backtrack."""
+    if not cfg.backtracking:
+        return None
+    return (cfg.armijo_c, cfg.ls_eta, cfg.max_backtracks)
 
 
 def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
                        a1_ref, btb_ref, X_ref, Y_ref, *rest,
                        n_pad: int, n_steps: int, with_gap: bool,
                        restart_threshold: float | None,
-                       greedy: tuple | None = None, n_true: int | None = None):
+                       greedy: tuple | None = None, n_true: int | None = None,
+                       armijo: tuple | None = None):
     """Run ``n_steps`` FISTA iterations for one (n_pad, B_TILE) tile.
 
     ``beta_ref``: scalar-prefetched (max_iter,) momentum table; ``k0_ref``:
@@ -101,12 +117,25 @@ def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
     safeguard compares against; an extra ``taumin_ref`` row (1/L) gives the
     shrink floor. ``greedy`` is the static pair (S, shrink).
 
-    The state rows (and their outputs) exist ONLY on the restart/greedy
-    paths — the fixed-momentum fast path keeps its lean ref list (no extra
-    DMAs). ``rest`` is (t, ps, Xo, Yo, to, pso, gap) with restart,
-    (t, ps, taumin, Xo, Yo, to, pso, gap) with greedy, else (Xo, Yo, gap).
+    ``armijo`` is not None ⇒ the masked per-lane Armijo backtracking search
+    runs in-kernel (kernels/_common.fista_armijo_chunk — reference
+    iterative_solvers.py:183-197 semantics, one extra Gram matvec per trial
+    round). A third state row carries the per-lane τ (accepted τ persists
+    across bursts and never grows); ``t``/``ps`` are the Nesterov scalar and
+    previous step-norm exactly as on the restart path (pass-through under
+    table-β momentum). ``armijo`` is the static (C, η, max_backtracks).
+
+    The state rows (and their outputs) exist ONLY on the
+    restart/greedy/armijo paths — the fixed-momentum fast path keeps its
+    lean ref list (no extra DMAs). ``rest`` is (t, ps, Xo, Yo, to, pso, gap)
+    with restart, (t, ps, taumin, Xo, Yo, to, pso, gap) with greedy,
+    (t, ps, tauv, Xo, Yo, to, pso, tauvo, gap) with armijo, else
+    (Xo, Yo, gap).
     """
-    if greedy is not None:
+    if armijo is not None:
+        (t_ref, ps_ref, tauv_ref, Xo_ref, Yo_ref, to_ref, pso_ref,
+         tauvo_ref, gap_ref) = rest
+    elif greedy is not None:
         t_ref, ps_ref, taumin_ref, Xo_ref, Yo_ref, to_ref, pso_ref, gap_ref = rest
     elif restart_threshold is not None:
         t_ref, ps_ref, Xo_ref, Yo_ref, to_ref, pso_ref, gap_ref = rest
@@ -131,7 +160,18 @@ def _fista_tile_kernel(beta_ref, k0_ref, Q_ref, c_ref, tau_ref, thr_ref, a2_ref,
             out += Q[j] * V[j : j + 1, :]
         return out
 
-    if greedy is not None:
+    if armijo is not None:
+        arm = fista_armijo_chunk(
+            matvec, beta_ref, c, a1, a2, btb_ref[:], n_steps,
+            restart_threshold, armijo,
+        )
+        X, Y, t, ps, tv = arm(
+            k0, X_ref[:], Y_ref[:], t_ref[:], ps_ref[:], tauv_ref[:]
+        )
+        to_ref[:] = t
+        pso_ref[:] = ps
+        tauvo_ref[:] = tv
+    elif greedy is not None:
         S_val, shrink = greedy
         taumin = taumin_ref[:]
 
@@ -219,20 +259,27 @@ def momentum_betas(k0: int, n_steps: int, t0: float, cfg: BatchFISTAConfig):
 
 
 def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, t, ps, taumin=None,
-           *, n_pad, b_tile, n_steps, interpret, with_gap=False,
-           restart_threshold=None, greedy=None, n_true=None):
+           tauv=None, *, n_pad, b_tile, n_steps, interpret, with_gap=False,
+           restart_threshold=None, greedy=None, n_true=None, armijo=None):
     """One kernel launch advancing every tile by ``n_steps`` iterations.
 
-    Returns ``(X, Y, t, ps, gap)`` — ``t``/``ps`` are the per-lane state rows
-    (Nesterov scalar + previous step-norm under adaptive restart; per-lane τ
-    + first-step norm under greedy; passed through otherwise); ``gap`` is the
-    in-kernel per-lane relative duality gap when ``with_gap``, else zeros."""
+    Returns ``(X, Y, t, ps, tauv, gap)`` — ``t``/``ps`` are the per-lane
+    state rows (Nesterov scalar + previous step-norm under adaptive restart;
+    per-lane τ + first-step norm under greedy; passed through otherwise);
+    ``tauv`` is the per-lane Armijo step row (shrunk in-kernel under
+    ``armijo``, passed through otherwise); ``gap`` is the in-kernel per-lane
+    relative duality gap when ``with_gap``, else zeros."""
     B = Q.shape[-1]
     grid = (B // b_tile,)
-    stateful = (restart_threshold is not None) or (greedy is not None)
+    stateful = (
+        (restart_threshold is not None) or (greedy is not None)
+        or (armijo is not None)
+    )
+    n_state_out = 3 if armijo is not None else (2 if stateful else 0)
     kern = functools.partial(
         _fista_tile_kernel, n_pad=n_pad, n_steps=n_steps, with_gap=with_gap,
         restart_threshold=restart_threshold, greedy=greedy, n_true=n_true,
+        armijo=armijo,
     )
     vec = lambda r: pl.BlockSpec(
         (r, b_tile), lambda i, *prefetch: (0, i), memory_space=pltpu.VMEM
@@ -255,32 +302,42 @@ def _burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, t, ps, taumin=None,
             vec(1),  # btb
             vec(n_pad),  # X
             vec(n_pad),  # Y
-            # per-lane state rows: restart (t, ps) / greedy (tau, fs) only
-            *([vec(1), vec(1)] if stateful else []),
-            *([vec(1)] if greedy is not None else []),  # taumin (greedy floor)
+            # per-lane state rows: restart (t, ps) / greedy (t, fs, taumin)
+            # / armijo (t, ps, tauv) only
+            *([vec(1)] * (2 if stateful else 0)),
+            *([vec(1)] if greedy is not None or armijo is not None else []),
         ],
         out_specs=[
             vec(n_pad), vec(n_pad),
-            *([vec(1), vec(1)] if stateful else []),
+            *([vec(1)] * n_state_out),
             vec(1),
         ],
     )
+    extra_in = []
+    if stateful:
+        extra_in += [t, ps]
+    if greedy is not None:
+        extra_in.append(taumin)  # greedy shrink floor (1/L)
+    elif armijo is not None:
+        extra_in.append(tauv)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
             state_vec(n_pad), state_vec(n_pad),
-            *([state_vec(1), state_vec(1)] if stateful else []),
+            *([state_vec(1)] * n_state_out),
             state_vec(1),
         ],
         interpret=interpret,
-    )(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y,
-      *([t, ps] if stateful else []),
-      *([taumin] if greedy is not None else []))
+    )(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, *extra_in)
+    if armijo is not None:
+        Xo, Yo, to, pso, tauvo, gap = out
+        return Xo, Yo, to, pso, tauvo, gap
     if stateful:
-        return out  # (X, Y, t, ps, gap)
+        Xo, Yo, to, pso, gap = out
+        return Xo, Yo, to, pso, tauv, gap  # tauv passed through untouched
     Xo, Yo, gap = out
-    return Xo, Yo, t, ps, gap  # state rows passed through untouched
+    return Xo, Yo, t, ps, tauv, gap  # state rows passed through untouched
 
 
 def _pad_batch(gb: GramBatch, b_tile: int) -> tuple[GramBatch, int]:
@@ -310,6 +367,7 @@ class _VmemState(NamedTuple):
     Y: Array
     t: Array  # (1, B) per-lane Nesterov scalar (restart path)
     ps: Array  # (1, B) per-lane previous step norm (restart path)
+    tau: Array  # (1, B) per-lane Armijo step row (pass-through otherwise)
     k: Array  # scalar iterations completed
     done: Array  # (B,)
     iters: Array  # (B,)
@@ -321,51 +379,66 @@ class VmemSolveState(NamedTuple):
     plain pytree). Feature-major like ``GramBatch``; ``t``/``ps`` are the
     per-lane momentum rows (Nesterov scalar + previous step norm; per-lane τ
     + first-step norm under greedy; the fixed-momentum modes resume via the
-    global β table indexed by ``k``). Produced by
-    ``fista_gram_vmem(..., return_state=True)`` and fed back as ``state0`` —
-    the continued trajectory is bit-identical to an uninterrupted run
+    global β table indexed by ``k``); ``tau`` is the per-lane Armijo step
+    (accepted τ persists across a checkpoint and never grows). ``done`` /
+    ``iters`` / ``gap`` carry the certification record, so lanes certified
+    before the checkpoint keep their burst-boundary iteration counts and
+    gaps on resume (ADVICE r4: without them a certified resume re-detected
+    convergence and the greedy stuck-lane safeguard compared against a gap
+    reset to inf). Produced by ``fista_gram_vmem(..., return_state=True)``
+    and fed back as ``state0`` — the continued trajectory and certification
+    record are bit-identical to an uninterrupted run
     (tests/test_kernels.py::test_vmem_kernel_resume_is_exact)."""
 
     X: Array  # (n, B)
     Y: Array  # (n, B)
     t: Array  # (1, B)
     ps: Array  # (1, B)
+    tau: Array  # (1, B) — per-lane Armijo step row
     k: Array  # scalar int32 — iterations completed (host-read on resume)
+    done: Array  # (B,) bool — certified-by-checkpoint mask
+    iters: Array  # (B,) int32 — burst-boundary certification counts
+    gap: Array  # (B,) — last certified per-lane relative gap
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_pad", "b_tile", "chunk", "n_bursts", "tol",
                      "interpret", "certify", "restart_threshold", "greedy",
-                     "n_true", "k0"),
+                     "n_true", "k0", "armijo"),
 )
 def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, taumin,
-                     X0=None, Y0=None, t0=None, ps0=None, *,
+                     X0=None, Y0=None, t0=None, ps0=None, tauv0=None,
+                     done0=None, iters0=None, gap0=None, *,
                      n_pad, b_tile, chunk, n_bursts, tol, interpret, certify,
                      restart_threshold=None, greedy=None, n_true=None,
-                     k0: int = 0):
+                     k0: int = 0, armijo=None):
     """The full certified solve as one device program (single host sync).
 
-    ``X0/Y0/t0/ps0`` (padded, feature-major) with static ``k0`` resume a
-    previous run: the burst offsets index the global β table at absolute
+    ``X0/Y0/t0/ps0/tauv0`` (padded, feature-major) with static ``k0`` resume
+    a previous run: the burst offsets index the global β table at absolute
     iteration counts, so fixed-momentum sequences continue exactly; the
-    restart/greedy paths continue from their carried per-lane rows."""
+    restart/greedy/armijo paths continue from their carried per-lane rows.
+    ``done0/iters0/gap0`` seed the certification record so
+    already-certified lanes keep their counts (ADVICE r4)."""
     B = Q.shape[-1]
     dtype = Q.dtype
     a1row = alpha1[None, :].astype(dtype)
     btbrow = btb[None, :].astype(dtype)
 
     def burst(state: _VmemState) -> _VmemState:
-        X, Y, t, ps, gvec = _burst(
+        X, Y, t, ps, tv, gvec = _burst(
             betas, state.k[None].astype(jnp.int32), Q, c, tau, thr, a2,
             a1row, btbrow, state.X, state.Y, state.t, state.ps, taumin,
+            state.tau,
             n_pad=n_pad, b_tile=b_tile, n_steps=chunk, interpret=interpret,
             with_gap=certify, restart_threshold=restart_threshold,
-            greedy=greedy, n_true=n_true,
+            greedy=greedy, n_true=n_true, armijo=armijo,
         )
         k = state.k + chunk
         if not certify:
-            return _VmemState(X, Y, t, ps, k, state.done, state.iters, state.gap)
+            return _VmemState(X, Y, t, ps, tv, k,
+                              state.done, state.iters, state.gap)
         g = gvec[0]  # in-kernel per-lane relative duality gap
         # quarantine non-finite lanes (failure detection) so the loop exits
         failed = ~jnp.all(jnp.isfinite(X), axis=0) | jnp.isnan(g)
@@ -385,6 +458,7 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, taumin,
             Y=Y,
             t=t,
             ps=ps,
+            tau=tv,
             k=k,
             done=state.done | newly,
             iters=jnp.where(newly, k, jnp.where(state.done, state.iters, k)),
@@ -398,10 +472,11 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, taumin,
         t=(tau if greedy is not None else jnp.ones((1, B), dtype))
         if t0 is None else t0,
         ps=jnp.zeros((1, B), dtype) if ps0 is None else ps0,
+        tau=tau if tauv0 is None else tauv0,
         k=jnp.full((), k0, jnp.int32),
-        done=jnp.zeros((B,), bool),
-        iters=jnp.zeros((B,), jnp.int32),
-        gap=jnp.full((B,), jnp.inf, dtype),
+        done=jnp.zeros((B,), bool) if done0 is None else done0,
+        iters=jnp.zeros((B,), jnp.int32) if iters0 is None else iters0,
+        gap=jnp.full((B,), jnp.inf, dtype) if gap0 is None else gap0,
     )
     if certify and n_bursts > 0:
         state = jax.lax.while_loop(
@@ -474,6 +549,13 @@ def fista_gram_vmem(
     test, the in-step safeguard, and the burst-boundary stuck-lane shrink —
     the same recurrence as batch/fista_gram.py's greedy branch.
 
+    Armijo backtracking (``cfg.backtracking``, round 5) runs in-kernel as
+    well: the masked per-lane sufficient-decrease search of the XLA driver
+    (reference iterative_solvers.py:183-197 — C=1e-2, η=0.5, accepted τ
+    persists and never grows), one extra Gram matvec per trial round against
+    the VMEM-resident Q, with the per-lane τ row carried across bursts and
+    checkpoints.
+
     ``state0`` resumes a previous run exactly (the SURVEY §5 checkpoint
     obligation on the fast path — no drop to the XLA driver needed):
     ``max_iter`` counts total iterations including the resumed ones, matching
@@ -498,6 +580,7 @@ def fista_gram_vmem(
     greedy = (
         (cfg.greedy_S, cfg.greedy_shrink) if cfg.momentum == "greedy" else None
     )
+    armijo = _armijo_static(cfg)
     step_factor = cfg.greedy_xi if greedy is not None else cfg.t_init_factor
 
     # Everything from padding to the final slice is ONE jitted program: each
@@ -508,13 +591,17 @@ def fista_gram_vmem(
         Y0=None if state0 is None else state0.Y,
         t0=None if state0 is None else state0.t,
         ps0=None if state0 is None else state0.ps,
+        tauv0=None if state0 is None else state0.tau,
+        done0=None if state0 is None else state0.done,
+        iters0=None if state0 is None else state0.iters,
+        gap0=None if state0 is None else state0.gap,
         pn=n_pad - n, pB=B - B_orig, n_pad=n_pad, b_tile=b_tile, chunk=chunk,
         n_bursts=n_bursts, tol=cfg.rel_gap_tol, interpret=interpret,
         certify=certify, t_init_factor=step_factor,
         restart_threshold=(
             cfg.restart_threshold if cfg.adaptive_restart else None
         ),
-        greedy=greedy, k0=k0,
+        greedy=greedy, k0=k0, armijo=armijo,
     )
     return (result, fin) if return_state else result
 
@@ -524,14 +611,15 @@ def fista_gram_vmem(
     static_argnames=(
         "pn", "pB", "n_pad", "b_tile", "chunk", "n_bursts", "tol",
         "interpret", "certify", "t_init_factor", "restart_threshold",
-        "greedy", "k0",
+        "greedy", "k0", "armijo",
     ),
 )  # n_true derived from pn inside (n = n_pad - pn)
 def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L,
-                   X0=None, Y0=None, t0=None, ps0=None, *, pn, pB, n_pad,
+                   X0=None, Y0=None, t0=None, ps0=None, tauv0=None,
+                   done0=None, iters0=None, gap0=None, *, pn, pB, n_pad,
                    b_tile, chunk, n_bursts, tol, interpret, certify,
                    t_init_factor, restart_threshold=None,
-                   greedy=None, k0: int = 0):
+                   greedy=None, k0: int = 0, armijo=None):
     n, B_orig = c.shape
     if pn or pB:
         Q = jnp.pad(Q, ((0, pn), (0, pn), (0, pB)))
@@ -542,11 +630,16 @@ def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L,
         L = jnp.pad(L, (0, pB), constant_values=1.0)
         if X0 is not None:
             # padded lanes are zero-Q instances whose trajectory is X = 0
-            # from any of these fills — values there are don't-care
+            # from any of these fills — values there are don't-care (done
+            # padded True so a fully-certified resume exits immediately)
             X0 = jnp.pad(X0, ((0, pn), (0, pB)))
             Y0 = jnp.pad(Y0, ((0, pn), (0, pB)))
             t0 = jnp.pad(t0, ((0, 0), (0, pB)), constant_values=1.0)
             ps0 = jnp.pad(ps0, ((0, 0), (0, pB)))
+            tauv0 = jnp.pad(tauv0, ((0, 0), (0, pB)), constant_values=1.0)
+            done0 = jnp.pad(done0, (0, pB), constant_values=True)
+            iters0 = jnp.pad(iters0, (0, pB))
+            gap0 = jnp.pad(gap0, (0, pB))
     dtype = c.dtype
     tau = (t_init_factor / L).astype(dtype)[None, :]
     thr = tau * alpha1[None, :]
@@ -555,10 +648,11 @@ def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L,
 
     state = _solve_on_device(
         betas, Q, c, btb, alpha1, alpha2, tau, thr, a2, taumin,
-        X0, Y0, t0, ps0,
+        X0, Y0, t0, ps0, tauv0, done0, iters0, gap0,
         n_pad=n_pad, b_tile=b_tile, chunk=chunk, n_bursts=n_bursts,
         tol=tol, interpret=interpret, certify=certify,
         restart_threshold=restart_threshold, greedy=greedy, n_true=n, k0=k0,
+        armijo=armijo,
     )
     sl = slice(0, B_orig)
     failed = ~jnp.all(jnp.isfinite(state.X[:, sl]), axis=0)
@@ -572,7 +666,8 @@ def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L,
     )
     fin = VmemSolveState(
         X=state.X[:n, sl], Y=state.Y[:n, sl], t=state.t[:, sl],
-        ps=state.ps[:, sl], k=state.k,
+        ps=state.ps[:, sl], tau=state.tau[:, sl], k=state.k,
+        done=state.done[sl], iters=state.iters[sl], gap=state.gap[sl],
     )
     return result, fin
 
@@ -604,6 +699,7 @@ def fista_gram_vmem_sharded(
     greedy = (
         (cfg.greedy_S, cfg.greedy_shrink) if cfg.momentum == "greedy" else None
     )
+    armijo = _armijo_static(cfg)
     step_factor = cfg.greedy_xi if greedy is not None else cfg.t_init_factor
     n_dev = mesh.shape[axis]
     if b_tile is None:
@@ -630,12 +726,12 @@ def fista_gram_vmem_sharded(
         btbrow = btb[None, :].astype(Q.dtype)
 
         def burst(i, s):
-            X, Y, t, ps, gvec = _burst(
+            X, Y, t, ps, tv, gvec = _burst(
                 betas, s.k[None].astype(jnp.int32), Q, c, tau, thr, a2,
-                a1row, btbrow, s.X, s.Y, s.t, s.ps, taumin,
+                a1row, btbrow, s.X, s.Y, s.t, s.ps, taumin, s.tau,
                 n_pad=n_pad, b_tile=b_tile, n_steps=chunk, interpret=interpret,
                 with_gap=True, restart_threshold=restart_threshold,
-                greedy=greedy, n_true=n_true,
+                greedy=greedy, n_true=n_true, armijo=armijo,
             )
             k = s.k + chunk
             g = gvec[0]
@@ -648,7 +744,7 @@ def fista_gram_vmem_sharded(
                     stuck[None, :], jnp.maximum(0.5 * t, taumin), t
                 )
             return _VmemState(
-                X=X, Y=Y, t=t, ps=ps, k=k,
+                X=X, Y=Y, t=t, ps=ps, tau=tv, k=k,
                 done=s.done | newly,
                 iters=jnp.where(newly, k, jnp.where(s.done, s.iters, k)),
                 gap=jnp.where(s.done, s.gap, g),
@@ -659,6 +755,7 @@ def fista_gram_vmem_sharded(
             Y=jnp.zeros((n_pad, Bl), dtype),
             t=tau if greedy is not None else jnp.ones((1, Bl), dtype),
             ps=jnp.zeros((1, Bl), dtype),
+            tau=tau,
             k=jnp.zeros((), jnp.int32),
             done=jnp.zeros((Bl,), bool),
             iters=jnp.zeros((Bl,), jnp.int32),
@@ -910,8 +1007,9 @@ def fista_gram_vmem_adaptive(
     convergence point instead of the batch's global max. Fresh solves only
     (no resume state); ``check_every`` must be > 0. Adaptive restart
     (nesterov momentum) and greedy momentum run fully in-kernel as in
-    :func:`fista_gram_vmem`."""
-    _check_kernel_cfg(cfg)
+    :func:`fista_gram_vmem`. Backtracking stays off this variant (the burst
+    kernel and the plain single-launch fused kernel run it in-kernel)."""
+    _check_kernel_cfg(cfg, backtracking_ok=False)
     if cfg.check_every <= 0:
         raise ValueError("adaptive kernel needs check_every > 0")
     greedy = (

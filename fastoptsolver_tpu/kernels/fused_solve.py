@@ -25,11 +25,11 @@ magnitude below the tile's own A-brick DMA, so it hides behind the next
 tile's stream the same way the build pairs do.
 
 Per the framework's kernel-guard contract, configurations this kernel does
-not implement are rejected loudly at entry: backtracking stays on the XLA
-driver, and the software-pipelined overlap variant is fixed-momentum only
-(adaptive restart and greedy momentum run on the plain single-launch kernel
-via kernels/_common.fista_general_chunk — same per-lane state-row
-recurrences as kernels/fista_vmem.py).
+not implement are rejected loudly at entry: the software-pipelined overlap
+variant is fixed-momentum only — adaptive restart, greedy momentum, and
+(round 5) Armijo backtracking run on the plain single-launch kernel via
+kernels/_common.fista_general_chunk / fista_armijo_chunk — same per-lane
+state-row recurrences as kernels/fista_vmem.py.
 
 Reference parity: the fixed-step FISTA recurrence of
 ``/root/reference/iterative_solvers.py:170-221`` with the same Gram-form
@@ -39,6 +39,7 @@ tests/test_kernels.py and Mosaic-verified on chip by bench/verify_tpu.py.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,7 @@ from ._common import (
     acc_entry,
     accumulate_pairs,
     assemble_c,
+    fista_armijo_chunk,
     fista_fixed_chunk,
     fista_general_chunk,
     gram_rel_gap,
@@ -59,7 +61,7 @@ from ._common import (
     power_lambda_max,
     write_q_planes,
 )
-from .fista_vmem import _check_kernel_cfg, momentum_betas
+from .fista_vmem import _armijo_static, _check_kernel_cfg, momentum_betas
 from .gram_build import _pairs, _round_up
 
 LANE = 128
@@ -67,12 +69,15 @@ SUBLANE = 8
 
 
 def _check_fused_cfg(cfg: BatchFISTAConfig, overlap: bool = False) -> None:
-    _check_kernel_cfg(cfg)  # rejects backtracking + restart-with-non-nesterov
+    # rejects restart-with-non-nesterov; backtracking is supported on the
+    # plain single-launch variant (in-kernel masked Armijo) but not overlap
+    _check_kernel_cfg(cfg, backtracking_ok=not overlap)
     if overlap and (cfg.adaptive_restart or cfg.momentum == "greedy"):
         raise NotImplementedError(
             "the software-pipelined (overlap) variant implements fixed "
-            "momentum only; adaptive restart and greedy momentum run on the "
-            "plain single-launch kernel (overlap=False)"
+            "momentum only; adaptive restart, greedy momentum, and Armijo "
+            "backtracking run on the plain single-launch kernel "
+            "(overlap=False)"
         )
     if cfg.check_every <= 0:
         raise ValueError(
@@ -113,13 +118,28 @@ def auto_tiles_fused(n: int, m: int,
     )
 
 
-def _fused_kernel(beta_ref, a1_ref, a2in_ref, A_ref, b_ref,
-                  X_ref, iters_ref, gap_ref, done_ref,
-                  acc_ref, Q_ref, *,
+def _fused_kernel(beta_ref, a1_ref, a2in_ref, A_ref, b_ref, *rest,
                   n: int, n_pad: int, m: int, m_tile: int,
                   pl_iters: int, l_safety: float, t_init_factor: float,
-                  chunk: int, n_bursts: int, tol: float, split_k: int,
-                  restart_threshold=None, greedy=None):
+                  chunk: int, k_end: int, tol: float, split_k: int,
+                  restart_threshold=None, greedy=None, armijo=None,
+                  resume: bool = False, with_state: bool = False):
+    """``resume``: nine extra input rows/planes carry a checkpointed
+    :class:`FusedSolveState` (per-lane k is uniform within a lane tile —
+    each tile exits at its own burst boundary — so ``k0_ref[0, 0]`` is
+    exact for the whole tile). ``with_state``: five extra outputs emit the
+    final state for checkpointing. Both exist ONLY when requested — the
+    fresh fast path keeps its lean ref list."""
+    if resume:
+        (X0_ref, Y0_ref, t0_ref, ps0_ref, tv0_ref, k0_ref, d0_ref, it0_ref,
+         g0_ref) = rest[:9]
+        rest = rest[9:]
+    X_ref, iters_ref, gap_ref, done_ref = rest[:4]
+    rest = rest[4:]
+    if with_state:
+        Yo_ref, to_ref, pso_ref, tvo_ref, ko_ref = rest[:5]
+        rest = rest[5:]
+    acc_ref, Q_ref = rest
     j = pl.program_id(1)
     nm = pl.num_programs(1)
     na = n + 1
@@ -152,30 +172,42 @@ def _fused_kernel(beta_ref, a1_ref, a2in_ref, A_ref, b_ref,
         taumin = 1.0 / L
 
         # ---- certified FISTA solve against the VMEM-resident Gram ----
+        # The carry always holds a per-lane τ row (tv): the Armijo mode
+        # shrinks it per lane (accepted τ persists, never grows); every
+        # other mode passes it through untouched.
         rel_gap = lambda X: gram_rel_gap(X, matvec, c_vec, a1, a2, btb)
         stateful = (restart_threshold is not None) or (greedy is not None)
-        if stateful:
-            fista_steps = fista_general_chunk(
+        if armijo is not None:
+            fista_steps = fista_armijo_chunk(
+                matvec, beta_ref, c_vec, a1, a2, btb, chunk,
+                restart_threshold, armijo,
+            )
+        elif stateful:
+            gen_steps = fista_general_chunk(
                 matvec, beta_ref, c_vec, tau, thr, a1, a2, chunk,
                 restart_threshold, greedy, taumin,
             )
+
+            def fista_steps(k0, X, Y, t, ps, tv):
+                X, Y, t, ps = gen_steps(k0, X, Y, t, ps)
+                return X, Y, t, ps, tv
         else:
             # the fixed-momentum hot path keeps its lean 2-plane carry
             fixed_steps = fista_fixed_chunk(
                 matvec, beta_ref, c_vec, tau, thr, a2, chunk
             )
 
-            def fista_steps(k0, X, Y, t, ps):
+            def fista_steps(k0, X, Y, t, ps, tv):
                 X, Y = fixed_steps(k0, X, Y)
-                return X, Y, t, ps
+                return X, Y, t, ps, tv
 
         def cond(carry):
-            X, Y, t, ps, k, done, iters, gap = carry
-            return (k < n_bursts * chunk) & ~jnp.all(done > 0.0)
+            X, Y, t, ps, tv, k, done, iters, gap = carry
+            return (k < k_end) & ~jnp.all(done > 0.0)
 
         def body(carry):
-            X, Y, t, ps, k, done, iters, gap = carry
-            X, Y, t, ps = fista_steps(k, X, Y, t, ps)
+            X, Y, t, ps, tv, k, done, iters, gap = carry
+            X, Y, t, ps, tv = fista_steps(k, X, Y, t, ps, tv)
             k = k + chunk
             gp = rel_gap(X)
             finite = jnp.all(jnp.isfinite(X), axis=0, keepdims=True)
@@ -191,31 +223,68 @@ def _fused_kernel(beta_ref, a1_ref, a2in_ref, A_ref, b_ref,
                 done == 0.0, jnp.float32(k), jnp.where(newly, jnp.float32(k), iters)
             )
             gap = jnp.where(newly | (done == 0.0), gp, gap)
-            return X, Y, t, ps, k, done, iters, gap
+            return X, Y, t, ps, tv, k, done, iters, gap
 
         zstate = jnp.zeros_like(c_vec)
         zrow1 = jnp.zeros_like(tau)
         t0row = tau if greedy is not None else jnp.ones_like(tau)
-        X, Y, t, ps, k, done, iters, gap = jax.lax.while_loop(
-            cond, body,
-            (zstate, zstate, t0row, zrow1, jnp.zeros((), jnp.int32),
-             zrow1, zrow1, jnp.full_like(tau, jnp.inf)),
+        if resume:
+            init = (X0_ref[:], Y0_ref[:], t0_ref[:], ps0_ref[:], tv0_ref[:],
+                    k0_ref[0, 0], d0_ref[:], it0_ref[:], g0_ref[:])
+        else:
+            init = (zstate, zstate, t0row, zrow1, tau,
+                    jnp.zeros((), jnp.int32), zrow1, zrow1,
+                    jnp.full_like(tau, jnp.inf))
+        X, Y, t, ps, tv, k, done, iters, gap = jax.lax.while_loop(
+            cond, body, init,
         )
         X_ref[:] = X
         gap_ref[:] = gap
         iters_ref[:] = iters.astype(jnp.int32)
         done_ref[:] = done.astype(jnp.int32)
+        if with_state:
+            Yo_ref[:] = Y
+            to_ref[:] = t
+            pso_ref[:] = ps
+            tvo_ref[:] = tv
+            ko_ref[:] = jnp.broadcast_to(k, ko_ref.shape).astype(jnp.int32)
+
+
+class FusedSolveState(NamedTuple):
+    """Checkpointable state of the plain single-launch fused engine
+    (``solve_lasso_fused(..., return_state=True)`` → ``state0=``). Same
+    per-lane rows as :class:`~..kernels.fista_vmem.VmemSolveState` plus a
+    per-lane ``k`` (iterations completed — uniform within each lane tile,
+    since each tile's in-kernel certification loop exits at its own burst
+    boundary). The state pins resume to THIS engine: its trajectory depends
+    on the in-kernel Gram/Lipschitz build, which the other engines don't
+    reproduce bit-for-bit. Resume recomputes the Gram from the same
+    ``(A, b)`` deterministically, reinjects the rows, and continues the
+    absolute-iteration β table from ``k`` — bit-identical to an
+    uninterrupted run (tests/test_kernel_armijo.py / test_kernels.py)."""
+
+    X: Array  # (n, B)
+    Y: Array  # (n, B)
+    t: Array  # (1, B) — Nesterov scalar / greedy τ row
+    ps: Array  # (1, B) — previous step norm / greedy first-step row
+    tau: Array  # (1, B) — per-lane Armijo step row
+    k: Array  # (B,) int32 — per-lane iterations completed
+    done: Array  # (B,) bool
+    iters: Array  # (B,) int32
+    gap: Array  # (B,)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("b_tile", "m_tile", "pl_iters", "l_safety",
-                     "t_init_factor", "chunk", "n_bursts", "tol", "split_k",
-                     "interpret", "pB", "restart_threshold", "greedy"),
+                     "t_init_factor", "chunk", "k_end", "tol", "split_k",
+                     "interpret", "pB", "restart_threshold", "greedy",
+                     "armijo", "with_state"),
 )
-def _run(betas, A, b, a1, a2, *, b_tile, m_tile, pl_iters, l_safety,
-         t_init_factor, chunk, n_bursts, tol, split_k, interpret, pB,
-         restart_threshold=None, greedy=None):
+def _run(betas, A, b, a1, a2, state0=None, *, b_tile, m_tile, pl_iters,
+         l_safety, t_init_factor, chunk, k_end, tol, split_k, interpret, pB,
+         restart_threshold=None, greedy=None, armijo=None,
+         with_state=False):
     n, m, B_orig = A.shape
     if pB:
         A = jnp.pad(A, ((0, 0), (0, 0), (0, pB)))
@@ -228,14 +297,51 @@ def _run(betas, A, b, a1, a2, *, b_tile, m_tile, pl_iters, l_safety,
     npairs_pad = _round_up(na * (na + 1) // 2, SUBLANE)
     a1r = a1[None, :].astype(A.dtype)
     a2r = a2[None, :].astype(A.dtype)
+    resume = state0 is not None
+    state_in = []
+    if resume:
+        dtype = A.dtype
+        pad2 = lambda x, v=0.0: (
+            jnp.pad(x, ((0, 0), (0, pB)), constant_values=v) if pB else x
+        )
+        X0 = jnp.pad(state0.X, ((0, n_pad - n), (0, 0)))
+        Y0 = jnp.pad(state0.Y, ((0, n_pad - n), (0, 0)))
+        state_in = [
+            pad2(X0), pad2(Y0),
+            pad2(state0.t, 1.0), pad2(state0.ps),
+            pad2(state0.tau, 1.0),
+            pad2(state0.k[None, :].astype(jnp.int32)),
+            # done/iters/gap ride as f32 rows (the kernel's carry dtype);
+            # padded lanes are done (zero-Q instances)
+            pad2(state0.done[None, :].astype(dtype), 1.0),
+            pad2(state0.iters[None, :].astype(dtype)),
+            pad2(state0.gap[None, :].astype(dtype)),
+        ]
     kern = functools.partial(
         _fused_kernel, n=n, n_pad=n_pad, m=m, m_tile=m_tile,
         pl_iters=pl_iters, l_safety=l_safety, t_init_factor=t_init_factor,
-        chunk=chunk, n_bursts=n_bursts, tol=tol, split_k=split_k,
-        restart_threshold=restart_threshold, greedy=greedy,
+        chunk=chunk, k_end=k_end, tol=tol, split_k=split_k,
+        restart_threshold=restart_threshold, greedy=greedy, armijo=armijo,
+        resume=resume, with_state=with_state,
     )
     vec = lambda r: pl.BlockSpec(
         (r, b_tile), lambda i, j, *pf: (0, i), memory_space=pltpu.VMEM
+    )
+    state_in_specs = (
+        [vec(n_pad), vec(n_pad)] + [vec(1)] * 7 if resume else []
+    )
+    state_out_specs = (
+        [vec(n_pad)] + [vec(1)] * 4 if with_state else []
+    )
+    state_out_shapes = (
+        [
+            jax.ShapeDtypeStruct((n_pad, B), A.dtype),  # Y
+            jax.ShapeDtypeStruct((1, B), A.dtype),  # t
+            jax.ShapeDtypeStruct((1, B), A.dtype),  # ps
+            jax.ShapeDtypeStruct((1, B), A.dtype),  # tau
+            jax.ShapeDtypeStruct((1, B), jnp.int32),  # k
+        ]
+        if with_state else []
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # betas
@@ -247,14 +353,15 @@ def _run(betas, A, b, a1, a2, *, b_tile, m_tile, pl_iters, l_safety,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m_tile, b_tile), lambda i, j, *pf: (j, i),
                          memory_space=pltpu.VMEM),
+            *state_in_specs,
         ],
-        out_specs=[vec(n_pad), vec(1), vec(1), vec(1)],
+        out_specs=[vec(n_pad), vec(1), vec(1), vec(1), *state_out_specs],
         scratch_shapes=[
             pltpu.VMEM((npairs_pad, b_tile), A.dtype),
             pltpu.VMEM((n_pad, n_pad, b_tile), A.dtype),
         ],
     )
-    X, iters, gap, done = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
@@ -262,12 +369,14 @@ def _run(betas, A, b, a1, a2, *, b_tile, m_tile, pl_iters, l_safety,
             jax.ShapeDtypeStruct((1, B), jnp.int32),
             jax.ShapeDtypeStruct((1, B), A.dtype),
             jax.ShapeDtypeStruct((1, B), jnp.int32),
+            *state_out_shapes,
         ],
         interpret=interpret,
-    )(betas, a1r, a2r, A, b)
+    )(betas, a1r, a2r, A, b, *state_in)
+    X, iters, gap, done = out[:4]
     sl = slice(0, B_orig)
     failed = ~jnp.all(jnp.isfinite(X[:, sl]), axis=0)
-    return BatchResult(
+    result = BatchResult(
         x=X[:n, sl].T,
         iters=iters[0, sl],
         rel_gap=gap[0, sl],
@@ -275,6 +384,15 @@ def _run(betas, A, b, a1, a2, *, b_tile, m_tile, pl_iters, l_safety,
         converged=(done[0, sl] > 0) & (gap[0, sl] <= tol) & ~failed,
         failed=failed,
     )
+    if not with_state:
+        return result
+    Yf, tf, psf, tvf, kf = out[4:]
+    fin = FusedSolveState(
+        X=X[:n, sl], Y=Yf[:n, sl], t=tf[:, sl], ps=psf[:, sl],
+        tau=tvf[:, sl], k=kf[0, sl],
+        done=done[0, sl] > 0, iters=iters[0, sl], gap=gap[0, sl],
+    )
+    return result, fin
 
 
 def solve_lasso_fused(
@@ -291,11 +409,14 @@ def solve_lasso_fused(
     split_k: int = 1,
     interpret: bool = False,
     overlap: bool | None = None,
-) -> BatchResult:
+    state0: FusedSolveState | None = None,
+    return_state: bool = False,
+):
     """Certified batched lasso, raw ``(A, b, α)`` to solutions, ONE kernel
     launch — the Gram never exists in HBM. Any momentum mode with in-kernel
-    certification (backtracking is rejected — route through
-    ``batch.solve_lasso_batch`` for automatic fallback to the XLA driver).
+    certification, including (round 5) reference-semantics Armijo
+    backtracking on the plain variant (the masked per-lane search of
+    kernels/_common.fista_armijo_chunk).
 
     ``overlap`` selects the software-pipelined variant (solve of tile i-1
     overlapped with tile i's DMA — see the module-bottom section); ``None``
@@ -304,8 +425,25 @@ def solve_lasso_fused(
     modes run on the plain kernel), its (double-buffered) VMEM budget fits,
     AND the batch spans more than one lane tile (with a single tile there
     is no concurrent build to overlap — the extra grid column would just
-    re-DMA every A brick for nothing)."""
+    re-DMA every A brick for nothing).
+
+    ``state0``/``return_state`` (round 5): checkpoint/resume on the PLAIN
+    single-launch engine — a :class:`FusedSolveState` produced by
+    ``return_state=True`` resumes bit-exactly (``max_iter`` counts total
+    iterations including the resumed ones; the Gram is rebuilt from the
+    same ``(A, b)`` deterministically). The overlap variant cannot carry
+    the state (its solver scratch is consumed per column): requesting
+    state with ``overlap=True`` raises; auto mode drops to plain."""
     _check_fused_cfg(cfg, overlap=bool(overlap))
+    want_state = (state0 is not None) or return_state
+    if want_state:
+        if overlap:
+            raise NotImplementedError(
+                "checkpoint/resume runs on the plain single-launch kernel; "
+                "the overlap variant's solver state lives in per-column "
+                "scratch and cannot round-trip (pass overlap=False/None)"
+            )
+        overlap = False  # auto mode: state forces the plain variant
     n, m, B = A.shape
     if m_tile is not None and m_tile < m and m_tile % SUBLANE:
         raise ValueError(f"m_tile must be a multiple of {SUBLANE} (or >= m)")
@@ -313,8 +451,12 @@ def solve_lasso_fused(
     greedy = (
         (cfg.greedy_S, cfg.greedy_shrink) if cfg.momentum == "greedy" else None
     )
+    armijo = _armijo_static(cfg)
     step_factor = cfg.greedy_xi if greedy is not None else cfg.t_init_factor
-    stateful = (restart_threshold is not None) or (greedy is not None)
+    stateful = (
+        (restart_threshold is not None) or (greedy is not None)
+        or (armijo is not None)
+    )
     overlap_auto = overlap is None
     if overlap is None and stateful:
         overlap = False  # plain kernel carries the per-lane momentum rows
@@ -361,18 +503,22 @@ def solve_lasso_fused(
     if pl_iters is None:
         pl_iters = 32 if n <= 7 else 96
     chunk = cfg.check_every
-    n_bursts = -(-cfg.max_iter // chunk)
-    betas, _ = momentum_betas(0, n_bursts * chunk, 1.0, cfg)
+    # k_end is the absolute iteration ceiling (max_iter rounded up to a
+    # burst multiple); a resumed tile continues from its own carried k and
+    # the β table is indexed absolutely, so one table serves both.
+    k_end = -(-cfg.max_iter // chunk) * chunk
+    betas, _ = momentum_betas(0, max(k_end, 1), 1.0, cfg)
     dtype = A.dtype
     a1 = jnp.broadcast_to(jnp.asarray(alpha1, dtype), (B,))
     a2 = jnp.broadcast_to(jnp.asarray(alpha2, dtype), (B,))
     pB = _round_up(B, b_tile) - B
     return _run(
-        betas, A, b, a1, a2, b_tile=b_tile, m_tile=m_tile,
+        betas, A, b, a1, a2, state0, b_tile=b_tile, m_tile=m_tile,
         pl_iters=pl_iters, l_safety=l_safety,
-        t_init_factor=step_factor, chunk=chunk, n_bursts=n_bursts,
+        t_init_factor=step_factor, chunk=chunk, k_end=k_end,
         tol=cfg.rel_gap_tol, split_k=split_k, interpret=interpret, pB=pB,
-        restart_threshold=restart_threshold, greedy=greedy,
+        restart_threshold=restart_threshold, greedy=greedy, armijo=armijo,
+        with_state=return_state,
     )
 
 

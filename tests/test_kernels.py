@@ -536,16 +536,14 @@ def test_kernel_greedy_certified_all_paths():
     )
 
 
-def test_kernel_rejects_backtracking():
-    """backtracking=True must fail loudly on every vmem entry point, never
-    silently run fixed-step (ADVICE r2)."""
-    import jax
+def test_kernel_rejects_backtracking_on_unsupported_variants():
+    """Round 5: the burst vmem kernel, the sharded kernel, and the plain
+    fused kernel run the masked Armijo search in-kernel
+    (tests/test_kernel_armijo.py); the variants that still don't — the
+    per-tile adaptive kernel and the software-pipelined overlap kernel —
+    must keep failing loudly, never silently run fixed-step (ADVICE r2)."""
     import pytest
-    from fastoptsolver_tpu.kernels import (
-        fista_gram_vmem_adaptive,
-        fista_gram_vmem_sharded,
-    )
-    from fastoptsolver_tpu.parallel import make_mesh
+    from fastoptsolver_tpu.kernels import fista_gram_vmem_adaptive
 
     gb = make_gram_batch(
         jnp.ones((8, 16, 5), jnp.float32), jnp.ones((8, 16), jnp.float32),
@@ -553,12 +551,10 @@ def test_kernel_rejects_backtracking():
     )
     cfg = BatchFISTAConfig(max_iter=10, backtracking=True)
     with pytest.raises(NotImplementedError):
-        fista_gram_vmem(gb, cfg, interpret=True)
-    with pytest.raises(NotImplementedError):
         fista_gram_vmem_adaptive(gb, cfg, interpret=True)
-    mesh = make_mesh(batch=2, model=1, devices=jax.devices()[:2])
-    with pytest.raises(NotImplementedError):
-        fista_gram_vmem_sharded(gb, mesh, cfg, interpret=True)
+    # the burst kernel now ACCEPTS it (search runs in-kernel)
+    res = fista_gram_vmem(gb, cfg, interpret=True)
+    assert res.x.shape == (8, 5)
 
 
 def test_fused_build_nonmultiple_rows():
@@ -691,10 +687,14 @@ def test_single_launch_fused_solve_guards():
 
     A = jnp.ones((5, 16, 128), jnp.float32)
     b = jnp.ones((16, 128), jnp.float32)
+    # round 5: backtracking runs on the plain single-launch kernel; only
+    # the overlap variant rejects it (tests/test_kernel_armijo.py)
     with pytest.raises(NotImplementedError, match="backtracking"):
         solve_lasso_fused(
-            A, b, 0.1, cfg=BatchFISTAConfig(max_iter=10, backtracking=True),
-            interpret=True,
+            A, b, 0.1,
+            cfg=BatchFISTAConfig(max_iter=10, check_every=5,
+                                 backtracking=True),
+            interpret=True, overlap=True,
         )
     with pytest.raises(ValueError, match="check_every"):
         solve_lasso_fused(
