@@ -155,6 +155,8 @@ def solve_lasso_batch(
     interpret: bool = False,
     state0=None,
     return_state: bool = False,
+    mesh=None,
+    mesh_axis: str | None = None,
 ):
     """One call from raw ``(A, b, α)`` to certified batched lasso solutions,
     routed to the fastest execution path the configuration supports.
@@ -195,7 +197,29 @@ def solve_lasso_batch(
     on the engine whose trajectory it holds (the engines' Lipschitz
     estimates differ at the ULP level, which the armijo/greedy recurrences
     amplify).
+
+    ``mesh`` (round 5): run THIS SAME routed surface per shard of a
+    ``jax.sharding.Mesh`` over the instance axis (``mesh_axis``, default
+    the framework's batch axis) — pure data parallelism via ``shard_map``,
+    zero inter-chip communication, with every routing guarantee above
+    (guard-deferred fallbacks, fused-vs-driver choice, ``backend=`` forcing)
+    applied inside each shard. This is the user-facing multi-chip entry;
+    kernels/pipeline.py keeps the hand-wired two-kernel pipeline for
+    comparison. Instances are zero-padded so each device's shard is a whole
+    number of lane tiles; checkpoint/resume is single-chip-only for now
+    (``state0``/``return_state`` with a mesh raise).
     """
+    if mesh is not None:
+        if state0 is not None or return_state:
+            raise NotImplementedError(
+                "checkpoint/resume through the mesh-routed surface is not "
+                "implemented; checkpoint per shard via the single-chip "
+                "surface instead"
+            )
+        return _solve_lasso_batch_sharded(
+            A, b, alpha1, alpha2, cfg, backend, feature_major, key,
+            interpret, mesh, mesh_axis,
+        )
     from .fista_gram import BatchFISTAConfig, fista_gram_batch, make_gram_batch
 
     if cfg is None:
@@ -254,6 +278,79 @@ def solve_lasso_batch(
         return fista_gram_vmem(gb, cfg, interpret=interpret,
                                return_state=return_state)
     return fista_gram_batch(gb, cfg, return_state=return_state)
+
+
+def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
+                               feature_major, key, interpret, mesh,
+                               mesh_axis):
+    """Mesh-routed :func:`solve_lasso_batch`: the single-chip routed surface
+    runs PER SHARD inside ``shard_map`` (explicit, because XLA cannot
+    auto-partition a ``pallas_call``). Each device owns complete instances —
+    distribution is embarrassing, so the only cross-device work is the input
+    layout. Routing decisions are static Python made once at trace time and
+    identical on every shard."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import BATCH_AXIS
+    from .fista_gram import BatchFISTAConfig
+
+    if cfg is None:
+        cfg = BatchFISTAConfig(max_iter=1000, check_every=25, rel_gap_tol=1e-6)
+    axis = BATCH_AXIS if mesh_axis is None else mesh_axis
+    A_fm = A if feature_major else jnp.transpose(A, (2, 1, 0))
+    b_fm = b if feature_major else jnp.transpose(b, (1, 0))
+    n, m, B_orig = A_fm.shape
+    n_dev = mesh.shape[axis]
+    dtype = A_fm.dtype
+    a1 = jnp.broadcast_to(jnp.asarray(alpha1, dtype), (B_orig,))
+    a2 = jnp.broadcast_to(jnp.asarray(alpha2, dtype), (B_orig,))
+
+    quantum = 128 * n_dev  # each shard a whole number of 128-lane tiles
+    pB = (-B_orig) % quantum
+    if pB:
+        A_fm = jnp.pad(A_fm, ((0, 0), (0, 0), (0, pB)))
+        b_fm = jnp.pad(b_fm, ((0, 0), (0, pB)))
+        a1 = jnp.pad(a1, (0, pB))
+        a2 = jnp.pad(a2, (0, pB))
+
+    def local(A_blk, b_blk, a1_blk, a2_blk):
+        res = solve_lasso_batch(
+            A_blk, b_blk, a1_blk, a2_blk, cfg=cfg, backend=backend,
+            feature_major=True, key=key, interpret=interpret,
+        )
+        failed = (
+            res.failed if res.failed is not None
+            else jnp.zeros_like(res.converged)
+        )
+        return res.x, res.iters, res.rel_gap, res.converged, failed
+
+    vec = P(axis)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None, axis), P(None, axis), vec, vec),
+        out_specs=(vec, vec, vec, vec, vec),
+        # purely local (no collectives); pallas_call outputs carry no
+        # varying-axes info, so skip the vma check
+        check_vma=False,
+    )
+    dev = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+    x, iters, gap, converged, failed = fn(
+        dev(A_fm, P(None, None, axis)), dev(b_fm, P(None, axis)),
+        dev(a1, vec), dev(a2, vec),
+    )
+    from .fista_gram import BatchResult
+
+    sl = slice(0, B_orig)
+    return BatchResult(
+        x=x[sl],
+        iters=iters[sl],
+        rel_gap=gap[sl],
+        n_iters_total=jnp.max(iters[sl]),
+        converged=converged[sl],
+        failed=failed[sl],
+    )
 
 
 def _resume_lasso_batch(A, b, alpha1, alpha2, cfg, backend, feature_major,

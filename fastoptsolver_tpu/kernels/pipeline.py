@@ -15,6 +15,13 @@ Single entry point::
 
 with feature-leading ``A (n, m, B)`` / ``b (m, B)`` sharded (or shardable)
 along B.
+
+Round 5: the USER-FACING multi-chip entry is now
+``batch.solve_lasso_batch(..., mesh=...)`` — it applies the full
+single-chip routing (guard-deferred fallbacks, fused-vs-driver choice,
+``backend=`` forcing) inside each shard. This module keeps the hand-wired
+two-kernel pipeline for ablation comparison and the restart/greedy
+fallback structure.
 """
 from __future__ import annotations
 

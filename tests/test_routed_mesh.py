@@ -1,0 +1,102 @@
+"""Mesh-routed solve_lasso_batch (round 5, VERDICT item 5).
+
+The round-4 multi-chip surface was hand-picked kernels
+(kernels/pipeline.py, kernels/fista_vmem.py sharded variants); a multi-chip
+user lost the routing guarantees of the single-chip surface. Round 5 makes
+``solve_lasso_batch(..., mesh=)`` run the SAME routed path per shard —
+guard-deferred fallbacks, fused-vs-driver choice, ``backend=`` forcing —
+via ``shard_map`` over the instance axis.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from fastoptsolver_tpu.batch import solve_lasso_batch
+from fastoptsolver_tpu.batch.fista_gram import BatchFISTAConfig
+
+
+def _problem(seed=0, B=500, m=150, n=5):
+    # B=500: not a multiple of 128 * 8 devices → exercises the padding path
+    rng = np.random.default_rng(seed)
+    Afm = jnp.asarray(rng.normal(size=(n, m, B)), jnp.float32)
+    xt = np.zeros((n, B), np.float32)
+    xt[:2] = rng.normal(size=(2, B))
+    bfm = jnp.einsum("nmb,nb->mb", Afm, jnp.asarray(xt))
+    a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", Afm, bfm)), axis=0)
+    return Afm, bfm, a1
+
+
+def test_mesh_routed_matches_single_device_kernel_path():
+    """Sharded-vs-single parity through the ROUTED surface on the 8-device
+    CPU mesh, kernel backend (the fused engine per shard)."""
+    from fastoptsolver_tpu.parallel import make_mesh
+
+    Afm, bfm, a1 = _problem()
+    cfg = BatchFISTAConfig(max_iter=1000, check_every=25, rel_gap_tol=5e-6)
+    mesh = make_mesh(batch=8, model=1)
+    res = solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
+                            interpret=True, mesh=mesh)
+    ref = solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
+                            interpret=True)
+    assert bool(np.asarray(res.converged).all())
+    # per-lane math is lane-local, so the shard split cannot change it;
+    # tiny drift comes only from the per-shard padding of the last tile
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(res.iters),
+                                  np.asarray(ref.iters))
+
+
+def test_mesh_routed_driver_backend_and_guards():
+    """backend='xla' forces the HBM-streamed driver inside every shard;
+    backend='kernel' with an unsupportable config raises the kernel guard's
+    message BEFORE any device work; resume with a mesh raises."""
+    import pytest
+
+    from fastoptsolver_tpu.parallel import make_mesh
+
+    Afm, bfm, a1 = _problem(seed=1, B=256)
+    cfg = BatchFISTAConfig(max_iter=800, check_every=25, rel_gap_tol=5e-6)
+    mesh = make_mesh(batch=8, model=1)
+    res = solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
+                            mesh=mesh, backend="xla")
+    ref = solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
+                            backend="xla")
+    assert bool(np.asarray(res.converged).all())
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="backend='kernel'"):
+        solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
+                          mesh=mesh, backend="kernel")  # not on TPU
+    with pytest.raises(NotImplementedError, match="resume"):
+        solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
+                          mesh=mesh, interpret=True, return_state=True)
+
+
+def test_mesh_routed_armijo_and_instance_major():
+    """The round-5 armijo kernel path composes with the mesh routing, and
+    instance-major inputs are transposed once up front."""
+    from fastoptsolver_tpu.parallel import make_mesh
+
+    Afm, bfm, a1 = _problem(seed=2, B=256)
+    cfg = BatchFISTAConfig(max_iter=100, check_every=25, rel_gap_tol=1e-4,
+                           backtracking=True)
+    mesh = make_mesh(batch=8, model=1)
+    res = solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
+                            interpret=True, mesh=mesh)
+    ref = solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-5, atol=1e-6)
+    # instance-major layout through the same mesh entry
+    A_im = jnp.transpose(Afm, (2, 1, 0))
+    b_im = jnp.transpose(bfm, (1, 0))
+    cfg2 = BatchFISTAConfig(max_iter=800, check_every=25, rel_gap_tol=5e-6)
+    res_im = solve_lasso_batch(A_im, b_im, a1, cfg=cfg2, mesh=mesh,
+                               interpret=True)
+    ref_im = solve_lasso_batch(Afm, bfm, a1, cfg=cfg2, feature_major=True,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(res_im.x), np.asarray(ref_im.x),
+                               rtol=1e-5, atol=1e-6)
