@@ -832,3 +832,24 @@ def test_overlap_auto_falls_back_on_single_tile():
     np.testing.assert_allclose(
         np.asarray(forced.x), np.asarray(auto.x), rtol=1e-5, atol=1e-6
     )
+
+
+def test_stream_ceiling_kernel_reads_every_brick():
+    """bench/stream.py's no-math pass (the bench.py self-calibrating
+    roofline, round 5) must traverse the same brick grid as the fused
+    solver: its accumulator output pins one row per (row-brick), so a
+    skipped DMA would be visible."""
+    from fastoptsolver_tpu.bench.stream import _stream_pass
+
+    rng = np.random.default_rng(0)
+    n, m, B = 5, 80, 256
+    A = jnp.asarray(rng.normal(size=(n, m, B)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(m, B)), jnp.float32)
+    m_tile = 16
+    out = _stream_pass(A, b, b_tile=128, m_tile=m_tile, interpret=True)
+    expected = sum(
+        np.asarray(A)[0, j * m_tile] + np.asarray(b)[j * m_tile]
+        for j in range(m // m_tile)
+    )
+    np.testing.assert_allclose(np.asarray(out)[0], expected, rtol=1e-5,
+                               atol=1e-5)
