@@ -54,16 +54,11 @@ def _kernel_route(n: int, cfg, backend: str, interpret: bool):
         raise ValueError(f"Unknown backend '{backend}'")
     if backend == "xla":
         return False, "backend='xla'"
-    from ..kernels.fista_vmem import (
-        SUBLANE,
-        _check_kernel_cfg,
-        _round_up,
-        auto_b_tile,
-    )
+    from ..kernels.fista_vmem import _check_kernel_cfg, plan_gram_solve
 
     try:
         _check_kernel_cfg(cfg)
-        auto_b_tile(_round_up(max(n, SUBLANE), SUBLANE))
+        plan_gram_solve(n, cfg)  # vmem-resident OR qstream (round 5 wide-n)
     except (ValueError, NotImplementedError) as e:
         if backend == "kernel":
             raise ValueError(f"backend='kernel' unsupported here: {e}") from e
@@ -83,14 +78,20 @@ def solve_gram_batch(gb, cfg=None, backend: str = "auto",
                      return_state: bool = False):
     """Route a prebuilt ``GramBatch`` to its fastest supported solver.
 
-    ``"auto"``: the VMEM-resident certified kernel
-    (kernels/fista_vmem.fista_gram_vmem) when on TPU (or ``interpret``), the
-    padded feature count fits the ~104-feature VMEM ceiling, and the config
-    passes the kernel's own entry guards (every momentum mode runs
-    in-kernel, and — round 5 — so does Armijo backtracking; non-nesterov
-    adaptive restart remains invalid everywhere); otherwise the XLA driver
-    (``fista_gram_batch``). ``"kernel"`` forces the Pallas path (raises with
-    the guard's reason if unsupported); ``"xla"`` forces the driver.
+    ``"auto"``: the certified Pallas path (kernels/fista_vmem.fista_gram_vmem
+    — the VMEM-resident burst engine to n ≈ 104, the Q-streaming burst
+    engine beyond it; ``plan_gram_solve`` picks) when on TPU (or
+    ``interpret``) and the config passes the kernels' own entry guards
+    (every momentum mode runs in-kernel, and — round 5 — so does Armijo
+    backtracking up to the resident ceiling; wide-n armijo would need a
+    data-dependent number of Q streams, so it falls back); otherwise the
+    XLA driver (``fista_gram_batch``). Measured crossovers (bench/wide_n.py
+    on chip, RESULTS.md round 5): resident kernel ≈ 49× the driver at n=96;
+    qstream ≈ 3.3× at n=128 (742 GB/s effective Q stream vs the driver's
+    228 — the driver itself runs at 99% of the XLA read rate; its cost IS
+    the per-iteration Q traffic). ``"kernel"`` forces the Pallas path
+    (raises with the guard's reason if unsupported); ``"xla"`` forces the
+    driver.
 
     ``state0``/``return_state`` give checkpoint/resume through the routed
     surface. The two paths carry different state types

@@ -335,11 +335,40 @@ def run() -> dict:
                                 interpret=False)
 
     def _armijo_fused():
-        np.testing.assert_array_equal(
-            np.asarray(res_arm_f.x), np.asarray(ref_arm_f.x)
+        # interpret mode is bit-exact (tests/test_kernel_armijo.py); on
+        # chip the two engines differ at the ULP level — the fused kernel's
+        # τ = 1/L division lowers through Mosaic, the two-kernel path's
+        # through XLA, and the rounding differs (measured ≤ 6e-6 abs in the
+        # decisive regime, round 5)
+        np.testing.assert_allclose(
+            np.asarray(res_arm_f.x), np.asarray(ref_arm_f.x),
+            rtol=2e-3, atol=2e-5,
         )
 
     check("fused_armijo", _armijo_fused)
+
+    # 7d. fused-engine resume on chip (round 5): cut + resume equals the
+    # straight certified run bit-for-bit, incl. the per-lane k row read
+    # inside the Mosaic kernel
+    cfg_fr = BatchFISTAConfig(max_iter=200, check_every=25, rel_gap_tol=1e-6)
+    cfg_fr_half = BatchFISTAConfig(max_iter=75, check_every=25,
+                                   rel_gap_tol=1e-6)
+    straight_fr = solve_lasso_fused(Aff, bff, a1f, 0.0, cfg=cfg_fr,
+                                    interpret=False, overlap=False)
+    _, mid_fr = solve_lasso_fused(Aff, bff, a1f, 0.0, cfg=cfg_fr_half,
+                                  interpret=False, return_state=True)
+    resumed_fr = solve_lasso_fused(Aff, bff, a1f, 0.0, cfg=cfg_fr,
+                                   interpret=False, state0=mid_fr)
+
+    def _fused_resume():
+        np.testing.assert_array_equal(
+            np.asarray(resumed_fr.x), np.asarray(straight_fr.x)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(resumed_fr.iters), np.asarray(straight_fr.iters)
+        )
+
+    check("fused_resume", _fused_resume)
 
     # 8. wide problems at the auto-tiled feature ceiling (certified solves).
     # The contract at wide n: BOTH the XLA driver and the Mosaic kernel
@@ -390,6 +419,59 @@ def run() -> dict:
             assert rel_obj.max() <= 1e-4, f"objective mismatch {rel_obj.max():.2e}"
 
         check(f"wide_n{n_wide}", _wide)
+
+    # 8b. the Q-streaming wide-n engine (round 5): past the resident
+    # ceiling, plan_gram_solve routes to kernels/qstream.py — Mosaic-compile
+    # it on chip at n=144 and hold it to the same certified contract as the
+    # wide-n driver checks (both certified, f64 recheck, objective parity).
+    from ..kernels.fista_vmem import plan_gram_solve
+
+    n_qs = 144
+    rngq = np.random.default_rng(n_qs)
+    Bq, mq = 256, 2 * n_qs
+    Aq = jnp.asarray(
+        rngq.normal(size=(Bq, mq, n_qs)) / np.sqrt(n_qs), jnp.float32
+    )
+    xtq = np.zeros((Bq, n_qs), np.float32)
+    xtq[:, : n_qs // 8] = rngq.normal(size=(Bq, n_qs // 8))
+    bq = jnp.einsum("bmn,bn->bm", Aq, jnp.asarray(xtq))
+    a1q = 0.1 * jnp.max(jnp.abs(jnp.einsum("bmi,bm->bi", Aq, bq)), axis=1)
+    gbq = make_gram_batch(Aq, bq, alpha1=a1q, alpha2=0.0)
+    cfg_q = BatchFISTAConfig(max_iter=2000, check_every=50, rel_gap_tol=5e-6)
+    assert plan_gram_solve(n_qs, cfg_q)[0] == "qstream"
+    ref_q = fista_gram_batch(gbq, cfg_q)
+    got_q = fista_gram_vmem(gbq, cfg_q, interpret=False)
+    gap_ref_q, obj_ref_q = _f64_gap_obj(Aq, bq, a1q, ref_q.x)
+    gap_got_q, obj_got_q = _f64_gap_obj(Aq, bq, a1q, got_q.x)
+
+    def _qstream():
+        assert bool(np.asarray(ref_q.converged).all()), "driver not certified"
+        assert bool(np.asarray(got_q.converged).all()), "qstream not certified"
+        assert gap_ref_q.max() <= 4 * 5e-6, f"driver f64 gap {gap_ref_q.max():.2e}"
+        assert gap_got_q.max() <= 4 * 5e-6, f"qstream f64 gap {gap_got_q.max():.2e}"
+        rel_obj = np.abs(obj_ref_q - obj_got_q) / np.maximum(obj_ref_q, 1.0)
+        assert rel_obj.max() <= 1e-4, f"objective mismatch {rel_obj.max():.2e}"
+
+    check("qstream_wide_n", _qstream)
+
+    # 8c. qstream resume on chip: 40 + 60 == straight 100 bit-for-bit
+    _, mid_q = fista_gram_vmem(
+        gbq, BatchFISTAConfig(max_iter=40, check_every=0), interpret=False,
+        return_state=True,
+    )
+    straight_q = fista_gram_vmem(
+        gbq, BatchFISTAConfig(max_iter=100, check_every=0), interpret=False
+    )
+    resumed_q = fista_gram_vmem(
+        gbq, BatchFISTAConfig(max_iter=100, check_every=0), interpret=False,
+        state0=mid_q,
+    )
+    check(
+        "qstream_resume",
+        lambda: np.testing.assert_array_equal(
+            np.asarray(resumed_q.x), np.asarray(straight_q.x)
+        ),
+    )
 
     # 9. shard_map × Mosaic: sharded kernel, interpret=False, 1-device mesh
     from ..kernels import fista_gram_vmem_sharded

@@ -144,7 +144,13 @@ def gram_rel_gap(X, matvec, c_vec, a1, a2, btb):
     """Per-lane relative duality gap in the kernel layout (feature rows on
     sublanes, instances on lanes; all reductions keepdims). Mirrors
     batch/fista_gram._rel_gap exactly — keep the two in sync."""
-    QX = matvec(X)
+    return gram_rel_gap_from_qx(X, matvec(X), c_vec, a1, a2, btb)
+
+
+def gram_rel_gap_from_qx(X, QX, c_vec, a1, a2, btb):
+    """:func:`gram_rel_gap` with the Gram matvec ``QX`` precomputed — for
+    kernels that stream Q from HBM and accumulate Q·X during the stream
+    (kernels/qstream.py) rather than holding Q resident."""
     red = lambda v: jnp.sum(v, axis=0, keepdims=True)
     xQx = red(X * QX)
     cx = red(c_vec * X)
@@ -229,19 +235,25 @@ def fista_armijo_chunk(matvec, beta_ref, c_vec, a1, a2, btb, chunk: int,
 
             X0t, ok0 = trial(tau)
 
+            # the accept mask rides the while carry as FLOAT 0/1 rows —
+            # Mosaic fails to legalize while-loops carrying i1 vectors
+            # (scf.yield), the same reason the adaptive kernel's done row
+            # is float (measured on chip, round 5)
             def bt_cond(cr):
-                tv, Xc, acc, kbt = cr
-                return jnp.any(~acc) & (kbt < max_bt)
+                tv, Xc, accf, kbt = cr
+                return jnp.any(accf == 0.0) & (kbt < max_bt)
 
             def bt_body(cr):
-                tv, Xc, acc, kbt = cr
+                tv, Xc, accf, kbt = cr
+                acc = accf > 0.0
                 tv_n = jnp.where(acc, tv, eta * tv)
                 Xt, ok = trial(tv_n)
-                return tv_n, jnp.where(acc, Xc, Xt), acc | ok, kbt + 1
+                accf_n = jnp.maximum(accf, ok.astype(accf.dtype))
+                return tv_n, jnp.where(acc, Xc, Xt), accf_n, kbt + 1
 
             tau_n, Xn, _, _ = jax.lax.while_loop(
                 bt_cond, bt_body,
-                (tau, X0t, ok0, jnp.zeros((), jnp.int32)),
+                (tau, X0t, ok0.astype(tau.dtype), jnp.zeros((), jnp.int32)),
             )
             if restart_threshold is None:
                 beta = beta_ref[k0 + i]

@@ -405,14 +405,15 @@ class VmemSolveState(NamedTuple):
     jax.jit,
     static_argnames=("n_pad", "b_tile", "chunk", "n_bursts", "tol",
                      "interpret", "certify", "restart_threshold", "greedy",
-                     "n_true", "k0", "armijo"),
+                     "n_true", "k0", "armijo", "engine", "g_planes"),
 )
 def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, taumin,
                      X0=None, Y0=None, t0=None, ps0=None, tauv0=None,
                      done0=None, iters0=None, gap0=None, *,
                      n_pad, b_tile, chunk, n_bursts, tol, interpret, certify,
                      restart_threshold=None, greedy=None, n_true=None,
-                     k0: int = 0, armijo=None):
+                     k0: int = 0, armijo=None, engine: str = "vmem",
+                     g_planes: int = 0):
     """The full certified solve as one device program (single host sync).
 
     ``X0/Y0/t0/ps0/tauv0`` (padded, feature-major) with static ``k0`` resume
@@ -426,14 +427,21 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, taumin,
     a1row = alpha1[None, :].astype(dtype)
     btbrow = btb[None, :].astype(dtype)
 
+    if engine == "qstream":
+        from .qstream import qstream_burst as _burst_fn
+        burst_kw = dict(g_planes=g_planes)
+    else:
+        _burst_fn = _burst
+        burst_kw = {}
+
     def burst(state: _VmemState) -> _VmemState:
-        X, Y, t, ps, tv, gvec = _burst(
+        X, Y, t, ps, tv, gvec = _burst_fn(
             betas, state.k[None].astype(jnp.int32), Q, c, tau, thr, a2,
             a1row, btbrow, state.X, state.Y, state.t, state.ps, taumin,
             state.tau,
             n_pad=n_pad, b_tile=b_tile, n_steps=chunk, interpret=interpret,
             with_gap=certify, restart_threshold=restart_threshold,
-            greedy=greedy, n_true=n_true, armijo=armijo,
+            greedy=greedy, n_true=n_true, armijo=armijo, **burst_kw,
         )
         k = state.k + chunk
         if not certify:
@@ -497,6 +505,33 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, taumin,
     return state
 
 
+def plan_gram_solve(n: int, cfg: BatchFISTAConfig) -> tuple[str, int, int]:
+    """Pick the kernel engine for a Gram-form solve at feature count ``n``:
+    ``("vmem", b_tile, 0)`` while the double-buffered Q tile fits the
+    VMEM-resident burst kernel (n ≲ 104), else ``("qstream", b_tile,
+    g_planes)`` for the Q-streaming burst (kernels/qstream.py — round 5,
+    no resident ceiling). Raises when no kernel engine supports the
+    configuration (wide-n armijo: the trial rounds would need a
+    data-dependent number of Q streams) — the router falls back to the XLA
+    driver on exactly these errors, so routing can never drift from the
+    kernels' real envelopes."""
+    n_pad = _round_up(max(n, SUBLANE), SUBLANE)
+    try:
+        return "vmem", auto_b_tile(n_pad), 0
+    except ValueError as vmem_err:
+        if cfg.backtracking:
+            raise NotImplementedError(
+                "past the VMEM-resident ceiling the armijo search would "
+                "need a data-dependent number of Q streams per iteration; "
+                "wide-n backtracking runs on the XLA driver "
+                "(batch.fista_gram.fista_gram_batch)"
+            ) from vmem_err
+        from .qstream import auto_tiles_qstream
+
+        bt, g = auto_tiles_qstream(n_pad)
+        return "qstream", bt, g
+
+
 def auto_b_tile(n_pad: int, vmem_budget_bytes: int = 12 * 1024 * 1024) -> int:
     """Largest lane tile whose **double-buffered** Q stream
     (2 · n_pad² · b_tile · 4 B — Pallas pipelines the next tile's DMA while
@@ -505,11 +540,13 @@ def auto_b_tile(n_pad: int, vmem_budget_bytes: int = 12 * 1024 * 1024) -> int:
     outputs.
 
     Raises when even the minimum 128-lane tile cannot fit (n_pad ≳ 112): the
-    VMEM-resident design caps at n ≈ 104 features; wider problems belong on
-    the XLA driver (batch.fista_gram.fista_gram_batch — same math, HBM-
-    streamed) or, for single instances, solvers/gram_dense.py. The round-2
-    verdict flagged that the old clamp silently emitted 128-lane tiles whose
-    Q blocks exceeded VMEM at n_pad ≥ 112."""
+    VMEM-resident design caps at n ≈ 104 features; wider problems route to
+    the Q-streaming kernel (kernels/qstream.py, round 5 — see
+    ``plan_gram_solve``), with the XLA driver
+    (batch.fista_gram.fista_gram_batch) as the armijo/ultra-wide fallback
+    and solvers/gram_dense.py for single instances. The round-2 verdict
+    flagged that the old clamp silently emitted 128-lane tiles whose Q
+    blocks exceeded VMEM at n_pad ≥ 112."""
     fit = vmem_budget_bytes // (2 * n_pad * n_pad * 4)
     if fit < LANE:
         raise ValueError(
@@ -530,6 +567,12 @@ def fista_gram_vmem(
     return_state: bool = False,
 ):
     """Solve the batch with VMEM-resident kernel bursts, entirely on device.
+
+    Past the resident VMEM ceiling (n ≈ 104) the SAME certified driver runs
+    the Q-streaming burst engine instead (kernels/qstream.py, round 5):
+    ``plan_gram_solve`` picks the engine, so one entry point covers every
+    feature count the kernels support — resume, early exit, and failure
+    quarantine behave identically on both engines.
 
     ``cfg.check_every > 0``: bursts of that many iterations with an on-device
     duality-gap certification between bursts, early-exiting when every
@@ -566,8 +609,13 @@ def fista_gram_vmem(
     _check_kernel_cfg(cfg)
     n, B_orig = gb.c.shape
     n_pad = _round_up(max(n, SUBLANE), SUBLANE)
-    if b_tile is None:
-        b_tile = auto_b_tile(n_pad)
+    engine, auto_bt, g_planes = plan_gram_solve(n, cfg)
+    if engine == "qstream":
+        # the (b_tile, g_planes) pair is coupled by the VMEM budget — the
+        # qstream tiler owns it; an explicit b_tile applies to vmem only
+        b_tile = auto_bt
+    elif b_tile is None:
+        b_tile = auto_bt
     b_tile = min(b_tile, _round_up(B_orig, LANE))
     B = _round_up(B_orig, b_tile)
 
@@ -601,7 +649,8 @@ def fista_gram_vmem(
         restart_threshold=(
             cfg.restart_threshold if cfg.adaptive_restart else None
         ),
-        greedy=greedy, k0=k0, armijo=armijo,
+        greedy=greedy, k0=k0, armijo=armijo, engine=engine,
+        g_planes=g_planes,
     )
     return (result, fin) if return_state else result
 
@@ -611,7 +660,7 @@ def fista_gram_vmem(
     static_argnames=(
         "pn", "pB", "n_pad", "b_tile", "chunk", "n_bursts", "tol",
         "interpret", "certify", "t_init_factor", "restart_threshold",
-        "greedy", "k0", "armijo",
+        "greedy", "k0", "armijo", "engine", "g_planes",
     ),
 )  # n_true derived from pn inside (n = n_pad - pn)
 def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L,
@@ -619,7 +668,8 @@ def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L,
                    done0=None, iters0=None, gap0=None, *, pn, pB, n_pad,
                    b_tile, chunk, n_bursts, tol, interpret, certify,
                    t_init_factor, restart_threshold=None,
-                   greedy=None, k0: int = 0, armijo=None):
+                   greedy=None, k0: int = 0, armijo=None,
+                   engine: str = "vmem", g_planes: int = 0):
     n, B_orig = c.shape
     if pn or pB:
         Q = jnp.pad(Q, ((0, pn), (0, pn), (0, pB)))
@@ -652,7 +702,7 @@ def _pad_and_solve(betas, Q, c, btb, alpha1, alpha2, L,
         n_pad=n_pad, b_tile=b_tile, chunk=chunk, n_bursts=n_bursts,
         tol=tol, interpret=interpret, certify=certify,
         restart_threshold=restart_threshold, greedy=greedy, n_true=n, k0=k0,
-        armijo=armijo,
+        armijo=armijo, engine=engine, g_planes=g_planes,
     )
     sl = slice(0, B_orig)
     failed = ~jnp.all(jnp.isfinite(state.X[:, sl]), axis=0)

@@ -402,12 +402,18 @@ def test_solve_lasso_batch_routing_guards():
     res = solve_lasso_batch(A, b, a1, cfg=btcfg, backend="auto")
     assert np.isfinite(np.asarray(res.rel_gap)).all()
     assert int(res.n_iters_total) > 0
-    # beyond the VMEM feature ceiling the kernel backend must refuse
+    # round 5: beyond the VMEM-resident ceiling the kernel backend now
+    # routes to the Q-streaming engine (tests/test_qstream.py) — the
+    # remaining hard refusal there is wide-n + backtracking (a trial search
+    # would need a data-dependent number of Q streams)
     rng = np.random.default_rng(0)
     Aw = jnp.asarray(rng.normal(size=(8, 16, 160)), jnp.float32)
     bw = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
+    with pytest.raises(ValueError, match="not on TPU"):
+        solve_lasso_batch(Aw, bw, 0.5, backend="kernel")  # supported now
     with pytest.raises(ValueError, match="XLA driver"):
-        solve_lasso_batch(Aw, bw, 0.5, backend="kernel")
+        solve_lasso_batch(Aw, bw, 0.5, cfg=btcfg, backend="kernel",
+                          interpret=True)
     # off-TPU without interpret: the router must fail with its clear
     # diagnosis instead of letting Mosaic lowering die deep inside Pallas
     # with a cryptic backend error (r3 advisor finding)
