@@ -100,3 +100,27 @@ def test_mesh_routed_armijo_and_instance_major():
                                interpret=True)
     np.testing.assert_allclose(np.asarray(res_im.x), np.asarray(ref_im.x),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_routed_wide_n_uses_qstream_per_shard():
+    """Wide n through the mesh surface: each shard's routed call picks the
+    Q-streaming engine (kernels/qstream.py) inside shard_map and matches
+    the single-device result."""
+    from fastoptsolver_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(4)
+    n, m, B = 144, 200, 256
+    Afm = jnp.asarray(rng.normal(size=(n, m, B)) / np.sqrt(n), jnp.float32)
+    xt = np.zeros((n, B), np.float32)
+    xt[: n // 8] = rng.normal(size=(n // 8, B))
+    bfm = jnp.einsum("nmb,nb->mb", Afm, jnp.asarray(xt))
+    a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", Afm, bfm)), axis=0)
+    cfg = BatchFISTAConfig(max_iter=600, check_every=25, rel_gap_tol=5e-6)
+    mesh = make_mesh(batch=8, model=1)
+    res = solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
+                            interpret=True, mesh=mesh, backend="kernel")
+    ref = solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
+                            interpret=True, backend="kernel")
+    assert bool(np.asarray(res.converged).all())
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-5, atol=1e-6)
