@@ -211,15 +211,9 @@ def solve_lasso_batch(
     (``state0``/``return_state`` with a mesh raise).
     """
     if mesh is not None:
-        if state0 is not None or return_state:
-            raise NotImplementedError(
-                "checkpoint/resume through the mesh-routed surface is not "
-                "implemented; checkpoint per shard via the single-chip "
-                "surface instead"
-            )
         return _solve_lasso_batch_sharded(
             A, b, alpha1, alpha2, cfg, backend, feature_major, key,
-            interpret, mesh, mesh_axis,
+            interpret, mesh, mesh_axis, state0, return_state,
         )
     from .fista_gram import BatchFISTAConfig, fista_gram_batch, make_gram_batch
 
@@ -283,13 +277,22 @@ def solve_lasso_batch(
 
 def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
                                feature_major, key, interpret, mesh,
-                               mesh_axis):
+                               mesh_axis, state0=None,
+                               return_state=False):
     """Mesh-routed :func:`solve_lasso_batch`: the single-chip routed surface
     runs PER SHARD inside ``shard_map`` (explicit, because XLA cannot
     auto-partition a ``pallas_call``). Each device owns complete instances —
     distribution is embarrassing, so the only cross-device work is the input
     layout. Routing decisions are static Python made once at trace time and
-    identical on every shard."""
+    identical on every shard.
+
+    Checkpoint/resume over the mesh rides the FUSED single-launch engine:
+    its state is entirely per-lane (including ``k`` — each lane tile exits
+    at its own burst boundary), so shards evolve independently under one
+    SPMD program. The other engines carry a SCALAR iteration counter that
+    sizes a static burst schedule on the host — per-shard counters would
+    need per-shard programs, so mesh state on those engines raises with a
+    pointer to per-shard single-chip checkpointing."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -307,6 +310,29 @@ def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
     a1 = jnp.broadcast_to(jnp.asarray(alpha1, dtype), (B_orig,))
     a2 = jnp.broadcast_to(jnp.asarray(alpha2, dtype), (B_orig,))
 
+    want_state = (state0 is not None) or return_state
+    if want_state:
+        from ..kernels import FusedSolveState
+        from ..kernels.fused_solve import _check_fused_cfg, auto_tiles_fused
+
+        if state0 is not None and not isinstance(state0, FusedSolveState):
+            raise NotImplementedError(
+                f"mesh-routed resume carries only FusedSolveState (per-lane "
+                f"k); got {type(state0).__name__} — resume it per shard "
+                "through the single-chip surface"
+            )
+        try:
+            # the mesh state path must land on the fused engine on every
+            # shard; surface its guard's reason if it cannot
+            _kernel_route(n, cfg, "kernel", interpret)
+            _check_fused_cfg(cfg)
+            auto_tiles_fused(n, m)
+        except (ValueError, NotImplementedError) as e:
+            raise NotImplementedError(
+                "mesh-routed checkpoint/resume needs the fused single-launch "
+                f"engine (per-lane k); this configuration cannot run it: {e}"
+            ) from e
+
     quantum = 128 * n_dev  # each shard a whole number of 128-lane tiles
     pB = (-B_orig) % quantum
     if pB:
@@ -315,36 +341,74 @@ def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
         a1 = jnp.pad(a1, (0, pB))
         a2 = jnp.pad(a2, (0, pB))
 
-    def local(A_blk, b_blk, a1_blk, a2_blk):
-        res = solve_lasso_batch(
-            A_blk, b_blk, a1_blk, a2_blk, cfg=cfg, backend=backend,
-            feature_major=True, key=key, interpret=interpret,
+    state_args = ()
+    if state0 is not None:
+        pr = lambda x, v=0.0: (
+            jnp.pad(x, ((0, 0), (0, pB)), constant_values=v) if pB else x
         )
+        pv = lambda x, v=0: (
+            jnp.pad(x, (0, pB), constant_values=v) if pB else x
+        )
+        state_args = (
+            pr(state0.X), pr(state0.Y), pr(state0.t, 1.0), pr(state0.ps),
+            pr(state0.tau, 1.0), pv(state0.k), pv(state0.done, True),
+            pv(state0.iters), pv(state0.gap),
+        )
+
+    def local(A_blk, b_blk, a1_blk, a2_blk, *st_blks):
+        if want_state:
+            from ..kernels import FusedSolveState
+            from ..kernels.fused_solve import solve_lasso_fused
+
+            st = FusedSolveState(*st_blks) if st_blks else None
+            res, fin = solve_lasso_fused(
+                A_blk, b_blk, a1_blk, a2_blk, cfg=cfg, interpret=interpret,
+                state0=st, return_state=True,
+            )
+        else:
+            res = solve_lasso_batch(
+                A_blk, b_blk, a1_blk, a2_blk, cfg=cfg, backend=backend,
+                feature_major=True, key=key, interpret=interpret,
+            )
+            fin = None
         failed = (
             res.failed if res.failed is not None
             else jnp.zeros_like(res.converged)
         )
-        return res.x, res.iters, res.rel_gap, res.converged, failed
+        out = (res.x, res.iters, res.rel_gap, res.converged, failed)
+        if want_state:
+            out = out + tuple(fin)
+        return out
 
     vec = P(axis)
+    plane = P(None, axis)
+    state_out = (plane, plane, plane, plane, plane, vec, vec, vec, vec) \
+        if want_state else ()
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, None, axis), P(None, axis), vec, vec),
-        out_specs=(vec, vec, vec, vec, vec),
+        in_specs=(P(None, None, axis), P(None, axis), vec, vec,
+                  *((plane,) * 5 + (vec,) * 4 if state0 is not None else ())),
+        out_specs=(vec, vec, vec, vec, vec, *state_out),
         # purely local (no collectives); pallas_call outputs carry no
         # varying-axes info, so skip the vma check
         check_vma=False,
     )
     dev = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
-    x, iters, gap, converged, failed = fn(
+    st_dev = ()
+    if state0 is not None:
+        specs = (plane,) * 5 + (vec,) * 4
+        st_dev = tuple(dev(x, s) for x, s in zip(state_args, specs))
+    out = fn(
         dev(A_fm, P(None, None, axis)), dev(b_fm, P(None, axis)),
-        dev(a1, vec), dev(a2, vec),
+        dev(a1, vec), dev(a2, vec), *st_dev,
     )
+    from ..kernels import FusedSolveState
     from .fista_gram import BatchResult
 
+    x, iters, gap, converged, failed = out[:5]
     sl = slice(0, B_orig)
-    return BatchResult(
+    result = BatchResult(
         x=x[sl],
         iters=iters[sl],
         rel_gap=gap[sl],
@@ -352,6 +416,14 @@ def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
         converged=converged[sl],
         failed=failed[sl],
     )
+    if not want_state:
+        return result
+    Xf, Yf, tf, psf, tvf, kf, df, itf, gf = out[5:]
+    fin = FusedSolveState(
+        X=Xf[:, sl], Y=Yf[:, sl], t=tf[:, sl], ps=psf[:, sl],
+        tau=tvf[:, sl], k=kf[sl], done=df[sl], iters=itf[sl], gap=gf[sl],
+    )
+    return (result, fin) if return_state else result
 
 
 def _resume_lasso_batch(A, b, alpha1, alpha2, cfg, backend, feature_major,

@@ -175,3 +175,33 @@ def test_routed_resume_rejects_unknown_state():
     with pytest.raises(TypeError, match="state0"):
         solve_lasso_batch(Afm, bfm, a1, feature_major=True,
                           state0={"not": "a state"})
+
+
+def test_fused_resume_rejects_regrouped_tiles():
+    """A checkpoint whose per-lane k is heterogeneous ACROSS the resuming
+    run's coarser lane tiles must refuse (a lockstep tile cannot hold lanes
+    at different absolute iterations) — the hazard of resuming a
+    mesh-sharded checkpoint through a coarser single-chip tiling."""
+    import pytest
+
+    from fastoptsolver_tpu.kernels import solve_lasso_fused
+
+    Afm, bfm, a1 = _problem(seed=8, B=256)
+    a1 = jnp.where(
+        jnp.arange(a1.shape[0]) < 128,
+        10.0 * jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", Afm, bfm)), axis=0),
+        a1,
+    )
+    cut = BatchFISTAConfig(max_iter=150, check_every=25, rel_gap_tol=1e-6)
+    _, mid = solve_lasso_fused(Afm, bfm, a1, 0.0, cfg=cut, interpret=True,
+                               b_tile=128, return_state=True)
+    assert len(set(np.asarray(mid.k).tolist())) > 1
+    # same grouping: fine
+    solve_lasso_fused(Afm, bfm, a1, 0.0,
+                      cfg=BatchFISTAConfig(max_iter=300, check_every=25),
+                      interpret=True, b_tile=128, state0=mid)
+    # coarser grouping mixes the two k values into one tile: refuse
+    with pytest.raises(ValueError, match="not uniform"):
+        solve_lasso_fused(Afm, bfm, a1, 0.0,
+                          cfg=BatchFISTAConfig(max_iter=300, check_every=25),
+                          interpret=True, b_tile=256, state0=mid)

@@ -70,9 +70,52 @@ def test_mesh_routed_driver_backend_and_guards():
     with pytest.raises(ValueError, match="backend='kernel'"):
         solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
                           mesh=mesh, backend="kernel")  # not on TPU
-    with pytest.raises(NotImplementedError, match="resume"):
+    # mesh state rides the fused engine only (per-lane k); other state
+    # types refuse with a pointer to per-shard checkpointing
+    from fastoptsolver_tpu.batch.fista_gram import (
+        init_batch_state,
+        make_gram_batch,
+    )
+
+    gb = make_gram_batch(jnp.transpose(Afm, (2, 1, 0)),
+                         jnp.transpose(bfm, (1, 0)), a1, 0.0)
+    with pytest.raises(NotImplementedError, match="FusedSolveState"):
         solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
-                          mesh=mesh, interpret=True, return_state=True)
+                          mesh=mesh, interpret=True,
+                          state0=init_batch_state(gb))
+
+
+def test_mesh_routed_resume_round_trip():
+    """Checkpoint/resume THROUGH the mesh surface (round 5): the fused
+    engine's per-lane k lets shards evolve independently under one SPMD
+    program — cut + resume over the mesh equals the straight mesh run, and
+    a mesh checkpoint equals the single-chip checkpointed trajectory."""
+    import dataclasses
+
+    from fastoptsolver_tpu.kernels import FusedSolveState
+    from fastoptsolver_tpu.parallel import make_mesh
+
+    Afm, bfm, a1 = _problem(seed=5, B=512)
+    mesh = make_mesh(batch=8, model=1)
+    full = BatchFISTAConfig(max_iter=200, check_every=25, rel_gap_tol=1e-6)
+    half = dataclasses.replace(full, max_iter=75)
+    straight = solve_lasso_batch(Afm, bfm, a1, cfg=full, feature_major=True,
+                                 interpret=True, mesh=mesh)
+    _, mid = solve_lasso_batch(Afm, bfm, a1, cfg=half, feature_major=True,
+                               interpret=True, mesh=mesh, return_state=True)
+    assert isinstance(mid, FusedSolveState)
+    resumed = solve_lasso_batch(Afm, bfm, a1, cfg=full, feature_major=True,
+                                interpret=True, mesh=mesh, state0=mid)
+    np.testing.assert_array_equal(np.asarray(resumed.x),
+                                  np.asarray(straight.x))
+    np.testing.assert_array_equal(np.asarray(resumed.iters),
+                                  np.asarray(straight.iters))
+    # the mesh checkpoint also resumes on the SINGLE-CHIP surface (and vice
+    # versa): state is per-lane, the mesh is just a layout
+    single = solve_lasso_batch(Afm, bfm, a1, cfg=full, feature_major=True,
+                               interpret=True, state0=mid)
+    np.testing.assert_array_equal(np.asarray(single.x),
+                                  np.asarray(straight.x))
 
 
 def test_mesh_routed_armijo_and_instance_major():
