@@ -103,8 +103,28 @@ def solve_gram_batch(gb, cfg=None, backend: str = "auto",
     if cfg is None:
         cfg = BatchFISTAConfig(max_iter=1000, check_every=25, rel_gap_tol=1e-6)
     if state0 is not None:
-        from ..kernels import VmemSolveState, fista_gram_vmem
+        from ..kernels import (
+            ResidentSolveState,
+            VmemSolveState,
+            fista_gram_resident,
+            fista_gram_vmem,
+        )
 
+        if isinstance(state0, ResidentSolveState):
+            if backend == "xla":
+                raise ValueError(
+                    "state0 is a ResidentSolveState; it cannot resume on "
+                    "backend='xla'"
+                )
+            if not (jax.default_backend() == "tpu" or interpret):
+                raise ValueError(
+                    "state0 is a kernel-path ResidentSolveState but this "
+                    "host is not on TPU (pass interpret=True to force "
+                    "off-TPU)"
+                )
+            return fista_gram_resident(gb, cfg, interpret=interpret,
+                                       state0=state0,
+                                       return_state=return_state)
         if isinstance(state0, VmemSolveState):
             if backend == "xla":
                 raise ValueError(
@@ -131,8 +151,8 @@ def solve_gram_batch(gb, cfg=None, backend: str = "auto",
             return fista_gram_batch(gb, cfg, state0=state0,
                                     return_state=return_state)
         raise TypeError(
-            f"state0 must be a VmemSolveState or BatchState, got "
-            f"{type(state0).__name__}"
+            f"state0 must be a ResidentSolveState, VmemSolveState, or "
+            f"BatchState, got {type(state0).__name__}"
         )
     use_kernel, _ = _kernel_route(gb.dim, cfg, backend, interpret)
     if use_kernel:
@@ -432,10 +452,23 @@ def _resume_lasso_batch(A, b, alpha1, alpha2, cfg, backend, feature_major,
     the engine (see the caller's docstring). The Gram-path engines rebuild
     the Gram from the same ``(A, b)`` deterministically, so only the solver
     rows need to round-trip."""
-    from ..kernels import FusedSolveState, VmemSolveState
+    from ..kernels import FusedSolveState, ResidentSolveState, VmemSolveState
     from .fista_gram import BatchState, fista_gram_batch
 
     n = A.shape[0] if feature_major else A.shape[-1]
+    if isinstance(state0, ResidentSolveState):
+        if backend == "xla":
+            raise ValueError(
+                "state0 is a ResidentSolveState; it cannot resume on "
+                "backend='xla'"
+            )
+        from ..kernels import fista_gram_resident
+
+        _kernel_route(n, cfg, "kernel", interpret)
+        gb = _build_gram_routed(A, b, alpha1, alpha2, feature_major, key,
+                                interpret, use_kernel=True)
+        return fista_gram_resident(gb, cfg, interpret=interpret,
+                                   state0=state0, return_state=return_state)
     if isinstance(state0, FusedSolveState):
         if backend == "xla":
             raise ValueError(
@@ -477,8 +510,8 @@ def _resume_lasso_batch(A, b, alpha1, alpha2, cfg, backend, feature_major,
         return fista_gram_batch(gb, cfg, state0=state0,
                                 return_state=return_state)
     raise TypeError(
-        f"state0 must be a FusedSolveState, VmemSolveState, or BatchState; "
-        f"got {type(state0).__name__}"
+        f"state0 must be a FusedSolveState, ResidentSolveState, "
+        f"VmemSolveState, or BatchState; got {type(state0).__name__}"
     )
 
 

@@ -421,49 +421,55 @@ def run() -> dict:
         check(f"wide_n{n_wide}", _wide)
 
     # 8b. the Q-streaming wide-n engine (round 5): past the resident
-    # ceiling, plan_gram_solve routes to kernels/qstream.py — Mosaic-compile
-    # it on chip at n=144 and hold it to the same certified contract as the
+    # window, plan_gram_solve routes to kernels/qstream.py — Mosaic-compile
+    # it on chip at n=208 and hold it to the same certified contract as the
     # wide-n driver checks (both certified, f64 recheck, objective parity).
+    def _wide_problem(n_w: int):
+        rngq = np.random.default_rng(n_w)
+        Bq, mq = 256, 2 * n_w
+        Aq = jnp.asarray(
+            rngq.normal(size=(Bq, mq, n_w)) / np.sqrt(n_w), jnp.float32
+        )
+        xtq = np.zeros((Bq, n_w), np.float32)
+        xtq[:, : n_w // 8] = rngq.normal(size=(Bq, n_w // 8))
+        bq = jnp.einsum("bmn,bn->bm", Aq, jnp.asarray(xtq))
+        a1q = 0.1 * jnp.max(
+            jnp.abs(jnp.einsum("bmi,bm->bi", Aq, bq)), axis=1
+        )
+        return Aq, bq, a1q, make_gram_batch(Aq, bq, alpha1=a1q, alpha2=0.0)
+
     from ..kernels.fista_vmem import plan_gram_solve
 
-    n_qs = 144
-    rngq = np.random.default_rng(n_qs)
-    Bq, mq = 256, 2 * n_qs
-    Aq = jnp.asarray(
-        rngq.normal(size=(Bq, mq, n_qs)) / np.sqrt(n_qs), jnp.float32
-    )
-    xtq = np.zeros((Bq, n_qs), np.float32)
-    xtq[:, : n_qs // 8] = rngq.normal(size=(Bq, n_qs // 8))
-    bq = jnp.einsum("bmn,bn->bm", Aq, jnp.asarray(xtq))
-    a1q = 0.1 * jnp.max(jnp.abs(jnp.einsum("bmi,bm->bi", Aq, bq)), axis=1)
-    gbq = make_gram_batch(Aq, bq, alpha1=a1q, alpha2=0.0)
+    n_qs = 208
+    Aq2, bq2, a1q2, gbq2 = _wide_problem(n_qs)
     cfg_q = BatchFISTAConfig(max_iter=2000, check_every=50, rel_gap_tol=5e-6)
     assert plan_gram_solve(n_qs, cfg_q)[0] == "qstream"
-    ref_q = fista_gram_batch(gbq, cfg_q)
-    got_q = fista_gram_vmem(gbq, cfg_q, interpret=False)
-    gap_ref_q, obj_ref_q = _f64_gap_obj(Aq, bq, a1q, ref_q.x)
-    gap_got_q, obj_got_q = _f64_gap_obj(Aq, bq, a1q, got_q.x)
+    ref_q = fista_gram_batch(gbq2, cfg_q)
+    got_q = fista_gram_vmem(gbq2, cfg_q, interpret=False)
+    gap_ref_q, obj_ref_q2 = _f64_gap_obj(Aq2, bq2, a1q2, ref_q.x)
+    gap_got_q, obj_got_q = _f64_gap_obj(Aq2, bq2, a1q2, got_q.x)
 
     def _qstream():
         assert bool(np.asarray(ref_q.converged).all()), "driver not certified"
         assert bool(np.asarray(got_q.converged).all()), "qstream not certified"
         assert gap_ref_q.max() <= 4 * 5e-6, f"driver f64 gap {gap_ref_q.max():.2e}"
         assert gap_got_q.max() <= 4 * 5e-6, f"qstream f64 gap {gap_got_q.max():.2e}"
-        rel_obj = np.abs(obj_ref_q - obj_got_q) / np.maximum(obj_ref_q, 1.0)
+        rel_obj = np.abs(obj_ref_q2 - obj_got_q) / np.maximum(obj_ref_q2, 1.0)
         assert rel_obj.max() <= 1e-4, f"objective mismatch {rel_obj.max():.2e}"
 
     check("qstream_wide_n", _qstream)
 
     # 8c. qstream resume on chip: 40 + 60 == straight 100 bit-for-bit
+    # (check_every=0 keeps the fixed-run path on the streaming engine)
     _, mid_q = fista_gram_vmem(
-        gbq, BatchFISTAConfig(max_iter=40, check_every=0), interpret=False,
+        gbq2, BatchFISTAConfig(max_iter=40, check_every=0), interpret=False,
         return_state=True,
     )
     straight_q = fista_gram_vmem(
-        gbq, BatchFISTAConfig(max_iter=100, check_every=0), interpret=False
+        gbq2, BatchFISTAConfig(max_iter=100, check_every=0), interpret=False
     )
     resumed_q = fista_gram_vmem(
-        gbq, BatchFISTAConfig(max_iter=100, check_every=0), interpret=False,
+        gbq2, BatchFISTAConfig(max_iter=100, check_every=0), interpret=False,
         state0=mid_q,
     )
     check(
@@ -472,6 +478,53 @@ def run() -> dict:
             np.asarray(resumed_q.x), np.asarray(straight_q.x)
         ),
     )
+
+    # 8d. the resident mid-range engine (round 5): manual-DMA single-
+    # buffered Q block, whole certified solve per tile — must Mosaic-compile
+    # on chip (n=144, the window plan_gram_solve routes here), certify, and
+    # survive the independent f64 recheck.
+    from ..kernels import fista_gram_resident
+
+    Aq, bq, a1q, gbq = _wide_problem(144)
+    cfg_res = BatchFISTAConfig(max_iter=2000, check_every=50,
+                               rel_gap_tol=5e-6)
+    assert plan_gram_solve(144, cfg_res)[0] == "resident"
+    ref_res = fista_gram_batch(gbq, cfg_res)
+    res_res = fista_gram_resident(gbq, cfg_res, interpret=False)
+    gap_res, obj_res = _f64_gap_obj(Aq, bq, a1q, res_res.x)
+    _, obj_res_ref = _f64_gap_obj(Aq, bq, a1q, ref_res.x)
+
+    def _resident():
+        assert bool(np.asarray(res_res.converged).all()), "resident not certified"
+        assert gap_res.max() <= 4 * 5e-6, f"resident f64 gap {gap_res.max():.2e}"
+        rel_obj = np.abs(obj_res_ref - obj_res) / np.maximum(obj_res_ref, 1.0)
+        assert rel_obj.max() <= 1e-4, f"objective mismatch {rel_obj.max():.2e}"
+
+    check("resident_window", _resident)
+
+    # 8e. resident armijo + resume on chip
+    gb_low_q = _dc.replace(gbq, L=gbq.L / 4.0)
+    cfg_ra = BatchFISTAConfig(max_iter=5, check_every=5, backtracking=True)
+    ref_ra, rs_ra = fista_gram_batch(gb_low_q, cfg_ra, return_state=True)
+    got_ra = fista_gram_resident(gb_low_q, cfg_ra, interpret=False)
+    cfg_rr = BatchFISTAConfig(max_iter=200, check_every=25, rel_gap_tol=5e-6)
+    straight_rr = fista_gram_resident(gbq, cfg_rr, interpret=False)
+    _, mid_rr = fista_gram_resident(
+        gbq, BatchFISTAConfig(max_iter=75, check_every=25, rel_gap_tol=5e-6),
+        interpret=False, return_state=True,
+    )
+    resumed_rr = fista_gram_resident(gbq, cfg_rr, interpret=False,
+                                     state0=mid_rr)
+
+    def _resident_armijo_resume():
+        np.testing.assert_allclose(
+            np.asarray(got_ra.x), np.asarray(ref_ra.x), rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(resumed_rr.x), np.asarray(straight_rr.x)
+        )
+
+    check("resident_armijo_resume", _resident_armijo_resume)
 
     # 9. shard_map × Mosaic: sharded kernel, interpret=False, 1-device mesh
     from ..kernels import fista_gram_vmem_sharded

@@ -155,9 +155,15 @@ def run_one(n: int, hbm_gb: float, max_iter: int, check_every: int,
         conv_k = int(jnp.sum(res_k.converged))
         it_k = int(res_k.n_iters_total)
         bursts = -(-it_k // check_every)
-        # vmem reads Q once per BURST; qstream streams it once per
-        # iteration plus one certification pass per burst
-        kq_passes = bursts if engine == "vmem" else it_k + bursts
+        # vmem reads Q once per BURST; the resident engine once per SOLVE;
+        # qstream streams it once per iteration plus one certification
+        # pass per burst
+        if engine == "vmem":
+            kq_passes = bursts
+        elif engine == "resident":
+            kq_passes = 1
+        else:
+            kq_passes = it_k + bursts
         kq_bytes = kq_passes * gb.Q.size * 4.0
         out["kernel"] = {
             "engine": engine,

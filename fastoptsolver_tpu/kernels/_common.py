@@ -170,6 +170,102 @@ def gram_rel_gap_from_qx(X, QX, c_vec, a1, a2, btb):
     return gap / jnp.maximum(f, 1.0)
 
 
+def certified_solve_body(matvec, beta_ref, c_vec, tau, thr, a1, a2, btb,
+                         taumin, out_refs, state_init, *, chunk: int,
+                         k_end: int, tol: float, restart_threshold, greedy,
+                         armijo, with_state: bool):
+    """The whole certified FISTA solve of one lane tile against a
+    VMEM-resident Gram ``matvec``: the burst-and-gap-check while loop with
+    every in-kernel momentum mode (fixed table-β, adaptive restart, greedy,
+    Armijo), early exit when the tile's lanes are all certified, failure
+    quarantine, and optional resume/state emission. ONE implementation
+    shared by the single-launch fused kernel (kernels/fused_solve.py) and
+    the resident wide-n kernel (kernels/resident.py) — the two engines must
+    run the identical float sequence.
+
+    ``out_refs`` is ``(X, iters, gap, done)`` plus ``(Yo, to, pso, tvo,
+    ko)`` when ``with_state``; ``state_init`` is None (fresh start) or the
+    9-tuple of carried VALUES ``(X0, Y0, t0, ps0, tv0, k0, d0, it0, g0)``.
+    The carry always holds a per-lane τ row (tv): the Armijo mode shrinks
+    it per lane (accepted τ persists, never grows); every other mode passes
+    it through untouched."""
+    if with_state:
+        X_ref, iters_ref, gap_ref, done_ref, Yo_ref, to_ref, pso_ref, \
+            tvo_ref, ko_ref = out_refs
+    else:
+        X_ref, iters_ref, gap_ref, done_ref = out_refs
+    rel_gap = lambda X: gram_rel_gap(X, matvec, c_vec, a1, a2, btb)
+    stateful = (restart_threshold is not None) or (greedy is not None)
+    if armijo is not None:
+        fista_steps = fista_armijo_chunk(
+            matvec, beta_ref, c_vec, a1, a2, btb, chunk,
+            restart_threshold, armijo,
+        )
+    elif stateful:
+        gen_steps = fista_general_chunk(
+            matvec, beta_ref, c_vec, tau, thr, a1, a2, chunk,
+            restart_threshold, greedy, taumin,
+        )
+
+        def fista_steps(k0, X, Y, t, ps, tv):
+            X, Y, t, ps = gen_steps(k0, X, Y, t, ps)
+            return X, Y, t, ps, tv
+    else:
+        # the fixed-momentum hot path keeps its lean 2-plane carry
+        fixed_steps = fista_fixed_chunk(
+            matvec, beta_ref, c_vec, tau, thr, a2, chunk
+        )
+
+        def fista_steps(k0, X, Y, t, ps, tv):
+            X, Y = fixed_steps(k0, X, Y)
+            return X, Y, t, ps, tv
+
+    def cond(carry):
+        X, Y, t, ps, tv, k, done, iters, gap = carry
+        return (k < k_end) & ~jnp.all(done > 0.0)
+
+    def body(carry):
+        X, Y, t, ps, tv, k, done, iters, gap = carry
+        X, Y, t, ps, tv = fista_steps(k, X, Y, t, ps, tv)
+        k = k + chunk
+        gp = rel_gap(X)
+        finite = jnp.all(jnp.isfinite(X), axis=0, keepdims=True)
+        gp = jnp.where(finite, gp, jnp.inf)
+        newly = (done == 0.0) & ((gp <= tol) | ~finite)
+        if greedy is not None:
+            # stuck-lane safeguard at the check boundary (tau toward 1/L)
+            # — mirrors kernels/fista_vmem.py's adaptive kernel body
+            stuck = (done == 0.0) & ~newly & (gp > 0.9 * gap)
+            t = jnp.where(stuck, jnp.maximum(0.5 * t, taumin), t)
+        done = jnp.where(newly, 1.0, done)
+        iters = jnp.where(
+            done == 0.0, jnp.float32(k), jnp.where(newly, jnp.float32(k), iters)
+        )
+        gap = jnp.where(newly | (done == 0.0), gp, gap)
+        return X, Y, t, ps, tv, k, done, iters, gap
+
+    if state_init is None:
+        zstate = jnp.zeros_like(c_vec)
+        zrow1 = jnp.zeros_like(tau)
+        t0row = tau if greedy is not None else jnp.ones_like(tau)
+        state_init = (zstate, zstate, t0row, zrow1, tau,
+                      jnp.zeros((), jnp.int32), zrow1, zrow1,
+                      jnp.full_like(tau, jnp.inf))
+    X, Y, t, ps, tv, k, done, iters, gap = jax.lax.while_loop(
+        cond, body, state_init,
+    )
+    X_ref[:] = X
+    gap_ref[:] = gap
+    iters_ref[:] = iters.astype(jnp.int32)
+    done_ref[:] = done.astype(jnp.int32)
+    if with_state:
+        Yo_ref[:] = Y
+        to_ref[:] = t
+        pso_ref[:] = ps
+        tvo_ref[:] = tv
+        ko_ref[:] = jnp.broadcast_to(k, ko_ref.shape).astype(jnp.int32)
+
+
 def fista_fixed_chunk(matvec, beta_ref, c_vec, tau, thr, a2, chunk: int):
     """``chunk`` fixed-momentum FISTA iterations (β from the scalar-prefetch
     table at ABSOLUTE iteration indices): ``(k0, X, Y) -> (X, Y)``."""

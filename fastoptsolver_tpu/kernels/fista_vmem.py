@@ -506,24 +506,40 @@ def _solve_on_device(betas, Q, c, btb, alpha1, a2v, tau, thr, a2, taumin,
 
 
 def plan_gram_solve(n: int, cfg: BatchFISTAConfig) -> tuple[str, int, int]:
-    """Pick the kernel engine for a Gram-form solve at feature count ``n``:
-    ``("vmem", b_tile, 0)`` while the double-buffered Q tile fits the
-    VMEM-resident burst kernel (n ≲ 104), else ``("qstream", b_tile,
-    g_planes)`` for the Q-streaming burst (kernels/qstream.py — round 5,
-    no resident ceiling). Raises when no kernel engine supports the
-    configuration (wide-n armijo: the trial rounds would need a
-    data-dependent number of Q streams) — the router falls back to the XLA
-    driver on exactly these errors, so routing can never drift from the
-    kernels' real envelopes."""
+    """Pick the kernel engine for a Gram-form solve at feature count ``n``,
+    in measured-preference order (RESULTS.md round 5):
+
+    - ``("vmem", b_tile, 0)`` while the double-buffered Q tile fits the
+      burst kernel (n ≲ 104; 49× the XLA driver at n=96);
+    - ``("resident", b_tile, 0)`` for the single-buffered manual-DMA window
+      (n ≲ 160, certified configs — kernels/resident.py; Q read once per
+      SOLVE, 13.7× the streaming engine at n=144, every momentum mode incl.
+      armijo);
+    - ``("qstream", b_tile, g_planes)`` beyond (kernels/qstream.py — Q
+      streamed per iteration at ~750 GB/s, 3.2-3.4× the driver; no
+      practical ceiling).
+
+    Raises when no kernel engine supports the configuration (past-window
+    armijo: the trial rounds would need a data-dependent number of Q
+    streams) — the router falls back to the XLA driver on exactly these
+    errors, so routing can never drift from the kernels' real envelopes."""
     n_pad = _round_up(max(n, SUBLANE), SUBLANE)
     try:
         return "vmem", auto_b_tile(n_pad), 0
     except ValueError as vmem_err:
+        if cfg.check_every > 0:
+            from .resident import auto_b_tile_resident
+
+            try:
+                return "resident", auto_b_tile_resident(n_pad), 0
+            except ValueError:
+                pass
         if cfg.backtracking:
             raise NotImplementedError(
-                "past the VMEM-resident ceiling the armijo search would "
-                "need a data-dependent number of Q streams per iteration; "
-                "wide-n backtracking runs on the XLA driver "
+                "past the single-buffered resident window (~160 features, "
+                "certified configs) the armijo search would need a "
+                "data-dependent number of Q streams per iteration; this "
+                "configuration runs on the XLA driver "
                 "(batch.fista_gram.fista_gram_batch)"
             ) from vmem_err
         from .qstream import auto_tiles_qstream
@@ -610,6 +626,20 @@ def fista_gram_vmem(
     n, B_orig = gb.c.shape
     n_pad = _round_up(max(n, SUBLANE), SUBLANE)
     engine, auto_bt, g_planes = plan_gram_solve(n, cfg)
+    if engine == "resident":
+        from .resident import ResidentSolveState, fista_gram_resident
+
+        if state0 is None or isinstance(state0, ResidentSolveState):
+            return fista_gram_resident(
+                gb, cfg, interpret=interpret, state0=state0,
+                return_state=return_state,
+            )
+        # a VmemSolveState checkpoint pins the engine that produced it —
+        # in the resident window that is the qstream burst driver
+        from .qstream import auto_tiles_qstream
+
+        engine = "qstream"
+        auto_bt, g_planes = auto_tiles_qstream(n_pad)
     if engine == "qstream":
         # the (b_tile, g_planes) pair is coupled by the VMEM budget — the
         # qstream tiler owns it; an explicit b_tile applies to vmem only

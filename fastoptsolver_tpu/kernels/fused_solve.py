@@ -52,9 +52,8 @@ from ._common import (
     acc_entry,
     accumulate_pairs,
     assemble_c,
-    fista_armijo_chunk,
+    certified_solve_body,
     fista_fixed_chunk,
-    fista_general_chunk,
     gram_rel_gap,
     make_matvec,
     masked_cols,
@@ -172,82 +171,22 @@ def _fused_kernel(beta_ref, a1_ref, a2in_ref, A_ref, b_ref, *rest,
         taumin = 1.0 / L
 
         # ---- certified FISTA solve against the VMEM-resident Gram ----
-        # The carry always holds a per-lane τ row (tv): the Armijo mode
-        # shrinks it per lane (accepted τ persists, never grows); every
-        # other mode passes it through untouched.
-        rel_gap = lambda X: gram_rel_gap(X, matvec, c_vec, a1, a2, btb)
-        stateful = (restart_threshold is not None) or (greedy is not None)
-        if armijo is not None:
-            fista_steps = fista_armijo_chunk(
-                matvec, beta_ref, c_vec, a1, a2, btb, chunk,
-                restart_threshold, armijo,
-            )
-        elif stateful:
-            gen_steps = fista_general_chunk(
-                matvec, beta_ref, c_vec, tau, thr, a1, a2, chunk,
-                restart_threshold, greedy, taumin,
-            )
-
-            def fista_steps(k0, X, Y, t, ps, tv):
-                X, Y, t, ps = gen_steps(k0, X, Y, t, ps)
-                return X, Y, t, ps, tv
-        else:
-            # the fixed-momentum hot path keeps its lean 2-plane carry
-            fixed_steps = fista_fixed_chunk(
-                matvec, beta_ref, c_vec, tau, thr, a2, chunk
-            )
-
-            def fista_steps(k0, X, Y, t, ps, tv):
-                X, Y = fixed_steps(k0, X, Y)
-                return X, Y, t, ps, tv
-
-        def cond(carry):
-            X, Y, t, ps, tv, k, done, iters, gap = carry
-            return (k < k_end) & ~jnp.all(done > 0.0)
-
-        def body(carry):
-            X, Y, t, ps, tv, k, done, iters, gap = carry
-            X, Y, t, ps, tv = fista_steps(k, X, Y, t, ps, tv)
-            k = k + chunk
-            gp = rel_gap(X)
-            finite = jnp.all(jnp.isfinite(X), axis=0, keepdims=True)
-            gp = jnp.where(finite, gp, jnp.inf)
-            newly = (done == 0.0) & ((gp <= tol) | ~finite)
-            if greedy is not None:
-                # stuck-lane safeguard at the check boundary (tau toward 1/L)
-                # — mirrors kernels/fista_vmem.py's adaptive kernel body
-                stuck = (done == 0.0) & ~newly & (gp > 0.9 * gap)
-                t = jnp.where(stuck, jnp.maximum(0.5 * t, taumin), t)
-            done = jnp.where(newly, 1.0, done)
-            iters = jnp.where(
-                done == 0.0, jnp.float32(k), jnp.where(newly, jnp.float32(k), iters)
-            )
-            gap = jnp.where(newly | (done == 0.0), gp, gap)
-            return X, Y, t, ps, tv, k, done, iters, gap
-
-        zstate = jnp.zeros_like(c_vec)
-        zrow1 = jnp.zeros_like(tau)
-        t0row = tau if greedy is not None else jnp.ones_like(tau)
+        # (shared body — kernels/_common.certified_solve_body — so this
+        # engine and the resident wide-n engine run the identical floats)
         if resume:
             init = (X0_ref[:], Y0_ref[:], t0_ref[:], ps0_ref[:], tv0_ref[:],
                     k0_ref[0, 0], d0_ref[:], it0_ref[:], g0_ref[:])
         else:
-            init = (zstate, zstate, t0row, zrow1, tau,
-                    jnp.zeros((), jnp.int32), zrow1, zrow1,
-                    jnp.full_like(tau, jnp.inf))
-        X, Y, t, ps, tv, k, done, iters, gap = jax.lax.while_loop(
-            cond, body, init,
-        )
-        X_ref[:] = X
-        gap_ref[:] = gap
-        iters_ref[:] = iters.astype(jnp.int32)
-        done_ref[:] = done.astype(jnp.int32)
+            init = None
+        out_refs = (X_ref, iters_ref, gap_ref, done_ref)
         if with_state:
-            Yo_ref[:] = Y
-            to_ref[:] = t
-            pso_ref[:] = ps
-            tvo_ref[:] = tv
-            ko_ref[:] = jnp.broadcast_to(k, ko_ref.shape).astype(jnp.int32)
+            out_refs = out_refs + (Yo_ref, to_ref, pso_ref, tvo_ref, ko_ref)
+        certified_solve_body(
+            matvec, beta_ref, c_vec, tau, thr, a1, a2, btb, taumin,
+            out_refs, init, chunk=chunk, k_end=k_end, tol=tol,
+            restart_threshold=restart_threshold, greedy=greedy,
+            armijo=armijo, with_state=with_state,
+        )
 
 
 class FusedSolveState(NamedTuple):

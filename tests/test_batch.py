@@ -403,11 +403,13 @@ def test_solve_lasso_batch_routing_guards():
     assert np.isfinite(np.asarray(res.rel_gap)).all()
     assert int(res.n_iters_total) > 0
     # round 5: beyond the VMEM-resident ceiling the kernel backend now
-    # routes to the Q-streaming engine (tests/test_qstream.py) — the
-    # remaining hard refusal there is wide-n + backtracking (a trial search
-    # would need a data-dependent number of Q streams)
+    # routes to the resident manual-DMA engine (≲160, certified) and the
+    # Q-streaming engine beyond (tests/test_resident.py,
+    # tests/test_qstream.py) — the remaining hard refusal is
+    # past-window n + backtracking (a trial search would need a
+    # data-dependent number of Q streams)
     rng = np.random.default_rng(0)
-    Aw = jnp.asarray(rng.normal(size=(8, 16, 160)), jnp.float32)
+    Aw = jnp.asarray(rng.normal(size=(8, 16, 256)), jnp.float32)
     bw = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
     with pytest.raises(ValueError, match="not on TPU"):
         solve_lasso_batch(Aw, bw, 0.5, backend="kernel")  # supported now

@@ -35,24 +35,31 @@ def _wide_problem(seed=0, B=160, m=300, n=144):
     return make_gram_batch(A, b, a1, 0.0)
 
 
-def test_plan_routes_wide_n_to_qstream():
+def test_plan_routes_wide_n():
     cfg = BatchFISTAConfig()
     eng, bt, g = plan_gram_solve(5, cfg)
     assert eng == "vmem" and g == 0
-    eng, bt, g = plan_gram_solve(144, cfg)
-    assert eng == "qstream" and g > 0 and (144 + 7) // 8 * 8 % g == 0
-    eng, bt, g = plan_gram_solve(512, cfg)
-    assert eng == "qstream"
-    # wide armijo cannot stream (data-dependent trial passes) → loud guard,
-    # which the router converts into the XLA-driver fallback
+    # the certified mid-range window prefers the single-DMA resident engine
+    assert plan_gram_solve(144, cfg)[0] == "resident"
+    assert plan_gram_solve(160, cfg)[0] == "resident"
+    # fixed-iteration runs (check_every=0) and past-window n stream
+    assert plan_gram_solve(144, BatchFISTAConfig(check_every=0))[0] == \
+        "qstream"
+    eng, bt, g = plan_gram_solve(200, cfg)
+    assert eng == "qstream" and g > 0 and (200 + 7) // 8 * 8 % g == 0
+    assert plan_gram_solve(512, cfg)[0] == "qstream"
+    # armijo: supported in the resident window, refused where Q must stream
+    assert plan_gram_solve(144, BatchFISTAConfig(backtracking=True))[0] == \
+        "resident"
     import pytest
 
     with pytest.raises(NotImplementedError, match="driver"):
-        plan_gram_solve(144, BatchFISTAConfig(backtracking=True))
+        plan_gram_solve(512, BatchFISTAConfig(backtracking=True))
 
 
 def test_qstream_certified_matches_driver():
-    gb = _wide_problem()
+    # n=200 is past the resident window → the certified path is qstream
+    gb = _wide_problem(n=200)
     cfg = BatchFISTAConfig(max_iter=600, check_every=25, rel_gap_tol=5e-6)
     ref = fista_gram_batch(gb, cfg)
     got = fista_gram_vmem(gb, cfg, interpret=True)
@@ -103,13 +110,13 @@ def test_routed_surface_uses_qstream_at_wide_n():
 
     from fastoptsolver_tpu.batch import solve_gram_batch
 
-    gb = _wide_problem(seed=7, B=130)
+    gb = _wide_problem(seed=7, B=130, n=200)
     cfg = BatchFISTAConfig(max_iter=600, check_every=25, rel_gap_tol=5e-6)
     res = solve_gram_batch(gb, cfg, backend="kernel", interpret=True)
     ref = fista_gram_vmem(gb, cfg, interpret=True)
     np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
     bt = BatchFISTAConfig(max_iter=100, check_every=25, backtracking=True)
-    with pytest.raises(ValueError, match="backtracking"):
+    with pytest.raises(ValueError, match="armijo search"):
         solve_gram_batch(gb, bt, backend="kernel", interpret=True)
     res_bt = solve_gram_batch(gb, bt, backend="auto", interpret=True)
     assert np.isfinite(np.asarray(res_bt.rel_gap)).all()
