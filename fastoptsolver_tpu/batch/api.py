@@ -277,6 +277,23 @@ def solve_lasso_batch(
                                      interpret=interpret,
                                      return_state=return_state)
 
+    # Resident mid-range engine (round 5, 104 < n ≲ 160): build WITHOUT the
+    # XLA power loop (it re-reads the wide Gram from HBM every step —
+    # measured ~75% of the build stage) and estimate L in-kernel against
+    # the resident block instead.
+    if use_kernel:
+        from ..kernels.fista_vmem import plan_gram_solve
+
+        if plan_gram_solve(n, cfg)[0] == "resident":
+            from ..kernels import fista_gram_resident
+
+            gb = _build_gram_routed(A, b, alpha1, alpha2, feature_major,
+                                    key, interpret, use_kernel,
+                                    estimate_l=False)
+            return fista_gram_resident(gb, cfg, interpret=interpret,
+                                       est_l_iters=96,
+                                       return_state=return_state)
+
     # Gram build: the fused one-pass kernel is generic over n (round 4) up
     # to its own VMEM ceiling (~90 features; _auto_tiles raises beyond);
     # past that the XLA einsum precompute takes over regardless of the solve
@@ -465,9 +482,13 @@ def _resume_lasso_batch(A, b, alpha1, alpha2, cfg, backend, feature_major,
         from ..kernels import fista_gram_resident
 
         _kernel_route(n, cfg, "kernel", interpret)
+        # mirror the fresh path exactly: skip the XLA power loop and use
+        # the same in-kernel L estimate the checkpointed run derived τ from
         gb = _build_gram_routed(A, b, alpha1, alpha2, feature_major, key,
-                                interpret, use_kernel=True)
+                                interpret, use_kernel=True,
+                                estimate_l=False)
         return fista_gram_resident(gb, cfg, interpret=interpret,
+                                   est_l_iters=96,
                                    state0=state0, return_state=return_state)
     if isinstance(state0, FusedSolveState):
         if backend == "xla":
@@ -516,10 +537,11 @@ def _resume_lasso_batch(A, b, alpha1, alpha2, cfg, backend, feature_major,
 
 
 def _build_gram_routed(A, b, alpha1, alpha2, feature_major, key, interpret,
-                       use_kernel):
+                       use_kernel, estimate_l=True):
     """The Gram-precompute stage of :func:`solve_lasso_batch`, shared with
     the resume dispatch (fused Pallas build where supported, XLA einsum
-    past its ceiling)."""
+    past its ceiling). ``estimate_l=False`` skips the XLA power loop — used
+    with the resident engine's in-kernel estimate."""
     from .fista_gram import make_gram_batch
 
     n = A.shape[0] if feature_major else A.shape[-1]
@@ -541,7 +563,8 @@ def _build_gram_routed(A, b, alpha1, alpha2, feature_major, key, interpret,
                                      interpret=interpret)
     A_im = jnp.transpose(A, (2, 1, 0)) if feature_major else A
     b_im = jnp.transpose(b, (1, 0)) if feature_major else b
-    return make_gram_batch(A_im, b_im, alpha1, alpha2, key=key)
+    return make_gram_batch(A_im, b_im, alpha1, alpha2, key=key,
+                           estimate_l=estimate_l)
 
 
 def solve_batch(

@@ -105,11 +105,18 @@ def make_gram_batch(
     power_iters: int = 100,
     power_tol: float = 1e-6,
     dtype=None,
+    estimate_l: bool = True,
 ) -> GramBatch:
     """Batched Gram precompute + per-instance Lipschitz estimation.
 
     ``alpha1``/``alpha2`` may be scalars or (B,) arrays (per-instance
     regularization sweeps vmap naturally).
+
+    ``estimate_l=False`` skips the power iteration and fills ``L`` with a
+    1.0 sentinel — for solvers that estimate L themselves against a
+    VMEM-resident block (``kernels.fista_gram_resident(est_l_iters=…)``);
+    at wide n the XLA power loop re-reads the (n, n, B) Gram from HBM every
+    step and dominates the build stage (RESULTS.md round 5).
     """
     if dtype is not None:
         A = A.astype(dtype)
@@ -125,10 +132,13 @@ def make_gram_batch(
     btb = jnp.einsum("bm,bm->b", b, b, precision=hi)
     a1 = jnp.broadcast_to(jnp.asarray(alpha1, A.dtype), (B,))
     a2 = jnp.broadcast_to(jnp.asarray(alpha2, A.dtype), (B,))
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    v0 = jax.random.normal(key, (A.shape[2], B), A.dtype)
-    L = _batched_power_L(Q, v0, power_iters, power_tol) + a2
+    if estimate_l:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        v0 = jax.random.normal(key, (A.shape[2], B), A.dtype)
+        L = _batched_power_L(Q, v0, power_iters, power_tol) + a2
+    else:
+        L = jnp.ones((B,), A.dtype)
     return GramBatch(Q=Q, c=c, btb=btb, alpha1=a1, alpha2=a2, L=L)
 
 

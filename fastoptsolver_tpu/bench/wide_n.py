@@ -174,6 +174,29 @@ def run_one(n: int, hbm_gb: float, max_iter: int, check_every: int,
             "q_stream_gbps": round(kq_bytes / dt_k / 1e9, 1),
             "speedup_vs_driver": round(dt_d / dt_k, 2),
         }
+
+    # --- routed end-to-end from raw (A, b): build + solve through the
+    # public surface. In the resident window this skips the XLA power loop
+    # entirely and estimates L in-kernel against the resident block. -------
+    from ..batch import solve_lasso_batch
+
+    try:
+        dt_r, res_r = _timed(
+            lambda: solve_lasso_batch(A, b, alpha1, 0.0, cfg=cfg),
+            lambda r: int(jnp.sum(r.converged)), reps, trials,
+        )
+    except jax.errors.JaxRuntimeError as e:
+        # raw A + its feature-major transpose + Q can exceed HBM at big
+        # budgets; the arm is additive — record and move on
+        out["routed_end_to_end"] = {"skipped": f"oom: {str(e)[:80]}"}
+        return out
+    conv_r = int(jnp.sum(res_r.converged))
+    out["routed_end_to_end"] = {
+        "total_s": round(dt_r, 4),
+        "converged": conv_r,
+        "inst_per_s": round(conv_r / dt_r, 1),
+        "vs_build_plus_driver": round((dt_build + dt_d) / dt_r, 2),
+    }
     return out
 
 

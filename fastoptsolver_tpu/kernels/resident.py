@@ -48,7 +48,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..batch.fista_gram import BatchFISTAConfig, BatchResult, GramBatch
-from ._common import SUBLANE, certified_solve_body, make_matvec
+from ._common import (
+    SUBLANE,
+    certified_solve_body,
+    make_matvec,
+    power_lambda_max,
+)
 from .fista_vmem import (
     LANE,
     _armijo_static,
@@ -96,7 +101,9 @@ def _resident_tile_kernel(beta_ref, Q_any, c_ref, tau_ref, thr_ref, a2_ref,
                           a1_ref, btb_ref, taumin_ref, *rest,
                           b_tile: int, chunk: int, k_end: int, tol: float,
                           restart_threshold, greedy, armijo,
-                          n_true: int, resume: bool, with_state: bool):
+                          n_true: int, resume: bool, with_state: bool,
+                          est_l_iters=None, l_safety: float = 1.02,
+                          t_init_factor: float = 1.0):
     if resume:
         (X0_ref, Y0_ref, t0_ref, ps0_ref, tv0_ref, k0_ref, d0_ref, it0_ref,
          g0_ref) = rest[:9]
@@ -114,14 +121,31 @@ def _resident_tile_kernel(beta_ref, Q_any, c_ref, tau_ref, thr_ref, a2_ref,
     cp.wait()
 
     matvec = make_matvec(q_vmem, n_true)
+    a1 = a1_ref[:]
+    a2 = a2_ref[:]
+    if est_l_iters is not None:
+        # Lipschitz estimation against the RESIDENT block (the fused
+        # kernel's recipe: safety-scaled power iteration started from c,
+        # degenerate lanes guarded, + alpha2 fold) — skipping the XLA power
+        # loop that re-reads Q from HBM every step, which dominated the
+        # wide-n build stage (measured ~75% of it, RESULTS.md round 5)
+        L = power_lambda_max(matvec, c_ref[:], est_l_iters)
+        L = jnp.where(L > 0.0, l_safety * L, 1.0) + a2
+        tau = t_init_factor / L
+        thr = tau * a1
+        taumin = 1.0 / L
+    else:
+        tau = tau_ref[:]
+        thr = thr_ref[:]
+        taumin = taumin_ref[:]
     if resume:
         init = (X0_ref[:], Y0_ref[:], t0_ref[:], ps0_ref[:], tv0_ref[:],
                 k0_ref[0, 0], d0_ref[:], it0_ref[:], g0_ref[:])
     else:
         init = None
     certified_solve_body(
-        matvec, beta_ref, c_ref[:], tau_ref[:], thr_ref[:], a1_ref[:],
-        a2_ref[:], btb_ref[:], taumin_ref[:], out_refs, init,
+        matvec, beta_ref, c_ref[:], tau, thr, a1, a2, btb_ref[:], taumin,
+        out_refs, init,
         chunk=chunk, k_end=k_end, tol=tol,
         restart_threshold=restart_threshold, greedy=greedy, armijo=armijo,
         with_state=with_state,
@@ -132,12 +156,14 @@ def _resident_tile_kernel(beta_ref, Q_any, c_ref, tau_ref, thr_ref, a2_ref,
     jax.jit,
     static_argnames=("pn", "pB", "n_pad", "b_tile", "chunk", "k_end", "tol",
                      "interpret", "t_init_factor", "restart_threshold",
-                     "greedy", "armijo", "with_state"),
+                     "greedy", "armijo", "with_state", "est_l_iters",
+                     "l_safety"),
 )
 def _run_resident(betas, Q, c, btb, alpha1, alpha2, L, state0=None, *,
                   pn, pB, n_pad, b_tile, chunk, k_end, tol, interpret,
                   t_init_factor, restart_threshold=None, greedy=None,
-                  armijo=None, with_state=False):
+                  armijo=None, with_state=False, est_l_iters=None,
+                  l_safety=1.02):
     n, B_orig = c.shape
     if pn or pB:
         Q = jnp.pad(Q, ((0, pn), (0, pn), (0, pB)))
@@ -176,6 +202,8 @@ def _run_resident(betas, Q, c, btb, alpha1, alpha2, L, state0=None, *,
         _resident_tile_kernel, b_tile=b_tile, chunk=chunk, k_end=k_end,
         tol=tol, restart_threshold=restart_threshold, greedy=greedy,
         armijo=armijo, n_true=n, resume=resume, with_state=with_state,
+        est_l_iters=est_l_iters, l_safety=l_safety,
+        t_init_factor=t_init_factor,
     )
     vec = lambda r: pl.BlockSpec(
         (r, b_tile), lambda i, *pf: (0, i), memory_space=pltpu.VMEM
@@ -250,13 +278,22 @@ def fista_gram_resident(
     interpret: bool = False,
     state0: ResidentSolveState | None = None,
     return_state: bool = False,
+    est_l_iters: int | None = None,
+    l_safety: float = 1.02,
 ):
     """Certified solve with Q copied ONCE per lane tile into VMEM (manual
     DMA) and the whole certification loop in-kernel — the mid-range wide-n
     engine (104 ≲ n ≲ 160). Every in-kernel momentum mode runs here,
     including Armijo backtracking. ``state0``/``return_state`` follow the
     fused engine's semantics (per-lane k; resume must keep the tile
-    grouping that produced the checkpoint)."""
+    grouping that produced the checkpoint).
+
+    ``est_l_iters``: estimate the Lipschitz constant IN-KERNEL against the
+    resident block (``gb.L`` is then ignored — build the batch with
+    ``make_gram_batch(..., estimate_l=False)`` to skip the XLA power loop,
+    which re-reads Q from HBM every step and dominated the wide-n build
+    stage). A resumed state must use the same ``est_l_iters`` as the run
+    that produced it (τ derives from the in-kernel estimate)."""
     _check_kernel_cfg(cfg)
     if cfg.check_every <= 0:
         raise ValueError(
@@ -301,5 +338,6 @@ def fista_gram_resident(
             cfg.restart_threshold if cfg.adaptive_restart else None
         ),
         greedy=greedy, armijo=armijo, with_state=return_state,
+        est_l_iters=est_l_iters, l_safety=l_safety,
     )
     return result

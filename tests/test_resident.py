@@ -111,3 +111,43 @@ def test_resident_state_does_not_resume_elsewhere():
     _, mid = fista_gram_resident(gb, cfg, interpret=True, return_state=True)
     with pytest.raises(ValueError, match="ResidentSolveState"):
         solve_gram_batch(gb, cfg, backend="xla", state0=mid)
+
+
+def test_routed_resident_estimates_l_in_kernel():
+    """solve_lasso_batch at window n builds WITHOUT the XLA power loop
+    (make_gram_batch(estimate_l=False) → L sentinel) and estimates L
+    in-kernel against the resident block — certified results match the
+    external-L driver, and routed resume stays bit-exact (the resume path
+    re-derives the identical in-kernel estimate)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from fastoptsolver_tpu.batch import solve_lasso_batch
+    from fastoptsolver_tpu.kernels import ResidentSolveState
+
+    rng = np.random.default_rng(11)
+    B, m, n = 160, 300, 144
+    A = jnp.asarray(rng.normal(size=(B, m, n)) / np.sqrt(n), jnp.float32)
+    xt = np.zeros((B, n), np.float32)
+    xt[:, :20] = rng.normal(size=(B, 20))
+    b = jnp.einsum("bmn,bn->bm", A, jnp.asarray(xt))
+    a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("bmi,bm->bi", A, b)), axis=1)
+    cfg = BatchFISTAConfig(max_iter=600, check_every=25, rel_gap_tol=5e-6)
+
+    gb_nol = make_gram_batch(A, b, a1, 0.0, estimate_l=False)
+    np.testing.assert_array_equal(np.asarray(gb_nol.L), 1.0)  # sentinel
+
+    res = solve_lasso_batch(A, b, a1, cfg=cfg, interpret=True)
+    ref = fista_gram_batch(make_gram_batch(A, b, a1, 0.0), cfg)
+    assert bool(np.asarray(res.converged).all())
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=2e-4, atol=2e-5)
+
+    half = dataclasses.replace(cfg, max_iter=75)
+    _, mid = solve_lasso_batch(A, b, a1, cfg=half, interpret=True,
+                               return_state=True)
+    assert isinstance(mid, ResidentSolveState)
+    resumed = solve_lasso_batch(A, b, a1, cfg=cfg, interpret=True,
+                                state0=mid)
+    np.testing.assert_array_equal(np.asarray(resumed.x), np.asarray(res.x))
