@@ -75,7 +75,8 @@ def _kernel_route(n: int, cfg, backend: str, interpret: bool):
 
 def solve_gram_batch(gb, cfg=None, backend: str = "auto",
                      interpret: bool = False, state0=None,
-                     return_state: bool = False):
+                     return_state: bool = False,
+                     est_l_iters: int | None = None):
     """Route a prebuilt ``GramBatch`` to its fastest supported solver.
 
     ``"auto"``: the certified Pallas path (kernels/fista_vmem.fista_gram_vmem
@@ -94,10 +95,18 @@ def solve_gram_batch(gb, cfg=None, backend: str = "auto",
     driver.
 
     ``state0``/``return_state`` give checkpoint/resume through the routed
-    surface. The two paths carry different state types
-    (``kernels.VmemSolveState`` vs ``batch.fista_gram.BatchState``), so a
-    non-None ``state0`` PINS the route to the path that produced it — a
-    checkpoint must resume on the engine whose trajectory it holds."""
+    surface. The paths carry different state types (``FusedSolveState`` /
+    ``ResidentSolveState`` / ``VmemSolveState`` /
+    ``batch.fista_gram.BatchState``), so a non-None ``state0`` PINS the
+    route to the path that produced it — a checkpoint must resume on the
+    engine whose trajectory it holds.
+
+    ``est_l_iters``: forwarded to the resident engine — REQUIRED when
+    resuming a ``ResidentSolveState`` whose run estimated L in-kernel
+    (``solve_lasso_batch`` uses 96; τ derives from that estimate, so a
+    mismatched mode silently changes the trajectory). A ``gb`` built with
+    ``estimate_l=False`` carries an L sentinel and refuses to resume
+    without it."""
     from .fista_gram import BatchFISTAConfig, BatchState, fista_gram_batch
 
     if cfg is None:
@@ -122,8 +131,22 @@ def solve_gram_batch(gb, cfg=None, backend: str = "auto",
                     "host is not on TPU (pass interpret=True to force "
                     "off-TPU)"
                 )
+            if est_l_iters is None:
+                # a sentinel L (estimate_l=False build) means the original
+                # run derived τ from an IN-KERNEL estimate — resuming with
+                # τ = t_init_factor/1.0 would silently diverge (one small
+                # host fetch, like the engines' own k guards)
+                import numpy as np
+
+                if bool((np.asarray(jax.device_get(gb.L)) == 1.0).all()):
+                    raise ValueError(
+                        "this GramBatch carries the estimate_l=False "
+                        "sentinel; pass est_l_iters= matching the run that "
+                        "produced state0 (solve_lasso_batch uses 96)"
+                    )
             return fista_gram_resident(gb, cfg, interpret=interpret,
                                        state0=state0,
+                                       est_l_iters=est_l_iters,
                                        return_state=return_state)
         if isinstance(state0, VmemSolveState):
             if backend == "xla":
@@ -227,8 +250,12 @@ def solve_lasso_batch(
     applied inside each shard. This is the user-facing multi-chip entry;
     kernels/pipeline.py keeps the hand-wired two-kernel pipeline for
     comparison. Instances are zero-padded so each device's shard is a whole
-    number of lane tiles; checkpoint/resume is single-chip-only for now
-    (``state0``/``return_state`` with a mesh raise).
+    number of lane tiles. Checkpoint/resume works over the mesh on the
+    FUSED engine (its state is per-lane, including k, so shards evolve
+    independently under one SPMD program — a mesh checkpoint's k must stay
+    uniform within the resuming layout's tiles, pre-validated host-side);
+    the scalar-k engines and forced ``backend='xla'`` refuse loudly —
+    checkpoint those per shard through the single-chip surface.
     """
     if mesh is not None:
         return _solve_lasso_batch_sharded(
@@ -352,6 +379,15 @@ def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
         from ..kernels import FusedSolveState
         from ..kernels.fused_solve import _check_fused_cfg, auto_tiles_fused
 
+        if backend not in ("auto", "kernel"):
+            # the mesh state path IS the fused Pallas engine; honoring
+            # backend='xla' here is impossible — refuse rather than
+            # silently overriding the user's forced driver
+            raise NotImplementedError(
+                f"mesh checkpoint/resume rides the fused kernel engine "
+                f"(per-lane k); it cannot honor backend={backend!r} — drop "
+                "the mesh or the backend forcing"
+            )
         if state0 is not None and not isinstance(state0, FusedSolveState):
             raise NotImplementedError(
                 f"mesh-routed resume carries only FusedSolveState (per-lane "
@@ -380,6 +416,29 @@ def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
 
     state_args = ()
     if state0 is not None:
+        # Pre-validate per-lane k against THIS surface's per-shard tile
+        # grouping (inside shard_map the state is a tracer and the engine's
+        # own guard must skip): shard boundaries can split the grouping a
+        # single-chip checkpoint was cut under — e.g. a b_tile=1024
+        # checkpoint resumed over shards whose local tiles straddle two of
+        # the original tiles — which would silently misindex k.
+        import numpy as _np
+
+        from ..kernels.fused_solve import auto_tiles_fused as _atf
+
+        Bl = (B_orig + pB) // n_dev
+        bt_shard = min(_atf(n, m)[0], -(-Bl // 128) * 128)
+        kh = _np.asarray(jax.device_get(state0.k))
+        for d in range(n_dev):
+            for s0 in range(d * Bl, (d + 1) * Bl, bt_shard):
+                seg = kh[s0:min(s0 + bt_shard, B_orig)]
+                if seg.size and (seg != seg[0]).any():
+                    raise ValueError(
+                        f"state0.k is not uniform within this mesh's lane "
+                        f"tile [{s0}, {s0 + bt_shard}) (shard {d}) — the "
+                        "checkpoint was cut under a different tile "
+                        "grouping; resume with the layout that produced it"
+                    )
         pr = lambda x, v=0.0: (
             jnp.pad(x, ((0, 0), (0, pB)), constant_values=v) if pB else x
         )

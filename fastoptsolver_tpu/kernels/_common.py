@@ -170,6 +170,33 @@ def gram_rel_gap_from_qx(X, QX, c_vec, a1, a2, btb):
     return gap / jnp.maximum(f, 1.0)
 
 
+def assert_tile_k_uniform(k, B: int, b_tile: int, offset: int = 0) -> None:
+    """Host-side resume guard shared by the per-lane-k engines (fused,
+    resident) and the mesh surface: ``k`` must be uniform within every
+    ``b_tile`` lane group starting at ``offset`` — a checkpoint cut under a
+    different tile grouping (other b_tile, or a mesh layout whose shard
+    boundaries split the original tiles) would interleave lanes at
+    different absolute iterations into one lockstep tile, which the kernels
+    cannot represent. Skips silently for tracers: callers that trace
+    (shard_map locals) must pre-validate the CONCRETE state against their
+    own grouping before dispatch (batch/api._solve_lasso_batch_sharded
+    does)."""
+    import numpy as _np
+
+    if isinstance(k, jax.core.Tracer):
+        return
+    kh = _np.asarray(jax.device_get(k))
+    for s0 in range(offset, offset + B, b_tile):
+        seg = kh[s0:min(s0 + b_tile, offset + B)]
+        if seg.size and (seg != seg[0]).any():
+            raise ValueError(
+                f"state0.k is not uniform within lane tile "
+                f"[{s0}, {s0 + b_tile}) — the checkpoint was taken under a "
+                "different tile grouping (b_tile / mesh layout); resume "
+                "with the grouping that produced it"
+            )
+
+
 def certified_solve_body(matvec, beta_ref, c_vec, tau, thr, a1, a2, btb,
                          taumin, out_refs, state_init, *, chunk: int,
                          k_end: int, tol: float, restart_threshold, greedy,

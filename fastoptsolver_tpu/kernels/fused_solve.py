@@ -444,31 +444,15 @@ def solve_lasso_fused(
     chunk = cfg.check_every
     if state0 is not None:
         # per-lane k is read once per lane tile (uniform by construction
-        # when the checkpoint and the resume share a tile grouping); a
-        # checkpoint cut under a DIFFERENT grouping (other b_tile, or a
-        # mesh-sharded run resumed single-chip) can interleave lanes at
-        # different absolute iterations into one tile, which a lockstep
-        # tile cannot represent — detect it here (one small host fetch,
-        # like the vmem engine's k read) instead of silently resuming the
-        # whole tile from its first lane's k.
-        # (skipped under tracing — inside shard_map the state arrives as a
-        # tracer; the mesh path's per-shard tiles are never COARSER than a
-        # checkpoint's grouping, so the hazard cannot arise there)
-        import numpy as _np
+        # when the checkpoint and the resume share a tile grouping) —
+        # detect regrouped checkpoints here (one small host fetch, like
+        # the vmem engine's k read) instead of silently resuming a whole
+        # tile from its first lane's k. Inside shard_map the state is a
+        # tracer and the helper skips; the mesh surface pre-validates the
+        # concrete state against ITS per-shard grouping before dispatch.
+        from ._common import assert_tile_k_uniform
 
-        if isinstance(state0.k, jax.core.Tracer):
-            kh = _np.zeros(0, _np.int32)
-        else:
-            kh = _np.asarray(jax.device_get(state0.k))
-        for s0 in range(0, B, b_tile):
-            seg = kh[s0:min(s0 + b_tile, B)]
-            if seg.size and (seg != seg[0]).any():
-                raise ValueError(
-                    f"state0.k is not uniform within lane tile "
-                    f"[{s0}, {s0 + b_tile}) — the checkpoint was taken "
-                    "under a different tile grouping (b_tile / mesh "
-                    "layout); resume with the grouping that produced it"
-                )
+        assert_tile_k_uniform(state0.k, B, b_tile)
     # k_end is the absolute iteration ceiling (max_iter rounded up to a
     # burst multiple); a resumed tile continues from its own carried k and
     # the β table is indexed absolutely, so one table serves both.

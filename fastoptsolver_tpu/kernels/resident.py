@@ -315,19 +315,11 @@ def fista_gram_resident(
     step_factor = cfg.greedy_xi if greedy is not None else cfg.t_init_factor
 
     if state0 is not None:
-        # per-tile k uniformity (same hazard + guard as the fused engine)
-        import numpy as _np
+        # per-tile k uniformity (same hazard + shared guard as the fused
+        # engine — kernels/_common.assert_tile_k_uniform)
+        from ._common import assert_tile_k_uniform
 
-        if not isinstance(state0.k, jax.core.Tracer):
-            kh = _np.asarray(jax.device_get(state0.k))
-            for s0 in range(0, B, b_tile):
-                seg = kh[s0:min(s0 + b_tile, B)]
-                if seg.size and (seg != seg[0]).any():
-                    raise ValueError(
-                        f"state0.k is not uniform within lane tile "
-                        f"[{s0}, {s0 + b_tile}); resume with the tile "
-                        "grouping that produced the checkpoint"
-                    )
+        assert_tile_k_uniform(state0.k, B, b_tile)
 
     result = _run_resident(
         betas, gb.Q, gb.c, gb.btb, gb.alpha1, gb.alpha2, gb.L, state0,

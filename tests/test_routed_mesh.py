@@ -145,25 +145,73 @@ def test_mesh_routed_armijo_and_instance_major():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_mesh_routed_wide_n_uses_qstream_per_shard():
+def test_mesh_routed_wide_n_engines_per_shard():
     """Wide n through the mesh surface: each shard's routed call picks the
-    Q-streaming engine (kernels/qstream.py) inside shard_map and matches
-    the single-device result."""
+    right wide-n engine inside shard_map — the resident manual-DMA engine
+    at n=144 (the certified window) and the Q-streaming engine at n=200
+    (past it; pinned by plan_gram_solve) — and matches the single-device
+    result."""
+    from fastoptsolver_tpu.kernels.fista_vmem import plan_gram_solve
     from fastoptsolver_tpu.parallel import make_mesh
 
-    rng = np.random.default_rng(4)
-    n, m, B = 144, 200, 256
-    Afm = jnp.asarray(rng.normal(size=(n, m, B)) / np.sqrt(n), jnp.float32)
-    xt = np.zeros((n, B), np.float32)
-    xt[: n // 8] = rng.normal(size=(n // 8, B))
-    bfm = jnp.einsum("nmb,nb->mb", Afm, jnp.asarray(xt))
-    a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", Afm, bfm)), axis=0)
-    cfg = BatchFISTAConfig(max_iter=600, check_every=25, rel_gap_tol=5e-6)
     mesh = make_mesh(batch=8, model=1)
-    res = solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
-                            interpret=True, mesh=mesh, backend="kernel")
-    ref = solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
-                            interpret=True, backend="kernel")
-    assert bool(np.asarray(res.converged).all())
-    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
-                               rtol=1e-5, atol=1e-6)
+    for n, expect_engine in ((144, "resident"), (200, "qstream")):
+        rng = np.random.default_rng(n)
+        m, B = 200, 256
+        Afm = jnp.asarray(
+            rng.normal(size=(n, m, B)) / np.sqrt(n), jnp.float32
+        )
+        xt = np.zeros((n, B), np.float32)
+        xt[: n // 8] = rng.normal(size=(n // 8, B))
+        bfm = jnp.einsum("nmb,nb->mb", Afm, jnp.asarray(xt))
+        a1 = 0.1 * jnp.max(
+            jnp.abs(jnp.einsum("nmb,mb->nb", Afm, bfm)), axis=0
+        )
+        cfg = BatchFISTAConfig(max_iter=600, check_every=25,
+                               rel_gap_tol=5e-6)
+        assert plan_gram_solve(n, cfg)[0] == expect_engine
+        res = solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
+                                interpret=True, mesh=mesh,
+                                backend="kernel")
+        ref = solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
+                                interpret=True, backend="kernel")
+        assert bool(np.asarray(res.converged).all()), expect_engine
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                                   rtol=1e-4, atol=5e-6,
+                                   err_msg=expect_engine)
+
+
+def test_mesh_resume_rejects_checkpoint_cut_under_other_grouping():
+    """Review r5: a single-chip checkpoint (b_tile=1024 at n=5) whose tiles
+    exited at different bursts, resumed over a mesh whose shard-local tiles
+    straddle the original tile boundaries, would silently misindex k (the
+    in-kernel guard skips for tracers) — the mesh surface must pre-validate
+    the CONCRETE state against ITS grouping and refuse."""
+    import pytest
+
+    from fastoptsolver_tpu.kernels import solve_lasso_fused
+    from fastoptsolver_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(9)
+    n, m, B = 5, 96, 3072
+    Afm = jnp.asarray(rng.normal(size=(n, m, B)), jnp.float32)
+    xt = np.zeros((n, B), np.float32)
+    xt[:2] = rng.normal(size=(2, B))
+    bfm = jnp.einsum("nmb,nb->mb", Afm, jnp.asarray(xt))
+    amax = jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", Afm, bfm)), axis=0)
+    # middle single-chip tile [1024, 2048) hard, outer tiles trivial
+    hard = (jnp.arange(B) >= 1024) & (jnp.arange(B) < 2048)
+    a1 = jnp.where(hard, 0.1 * amax, 10.0 * amax)
+    cut = BatchFISTAConfig(max_iter=150, check_every=25, rel_gap_tol=1e-6)
+    # single-chip checkpoint at the auto 1024-lane grouping
+    _, mid = solve_lasso_fused(Afm, bfm, a1, 0.0, cfg=cut, interpret=True,
+                               return_state=True)
+    import jax
+
+    kvals = sorted(set(np.asarray(mid.k).tolist()))
+    assert len(kvals) > 1, kvals  # tiles genuinely diverged
+    mesh = make_mesh(batch=2, model=1, devices=jax.devices()[:2])
+    full = BatchFISTAConfig(max_iter=300, check_every=25, rel_gap_tol=1e-6)
+    with pytest.raises(ValueError, match="not uniform"):
+        solve_lasso_batch(Afm, bfm, a1, cfg=full, feature_major=True,
+                          interpret=True, mesh=mesh, state0=mid)
