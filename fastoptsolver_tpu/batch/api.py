@@ -251,11 +251,13 @@ def solve_lasso_batch(
     kernels/pipeline.py keeps the hand-wired two-kernel pipeline for
     comparison. Instances are zero-padded so each device's shard is a whole
     number of lane tiles. Checkpoint/resume works over the mesh on the
-    FUSED engine (its state is per-lane, including k, so shards evolve
-    independently under one SPMD program — a mesh checkpoint's k must stay
-    uniform within the resuming layout's tiles, pre-validated host-side);
-    the scalar-k engines and forced ``backend='xla'`` refuse loudly —
-    checkpoint those per shard through the single-chip surface.
+    per-lane-k engines — the FUSED single-launch kernel, and the RESIDENT
+    engine in the wide window (their state carries k per lane, so shards
+    evolve independently under one SPMD program; a mesh checkpoint's k
+    must stay uniform within the resuming layout's tiles, pre-validated
+    host-side); the scalar-k engines (qstream past the window, the XLA
+    driver) and forced ``backend='xla'`` refuse loudly — checkpoint those
+    per shard through the single-chip surface.
     """
     if mesh is not None:
         return _solve_lasso_batch_sharded(
@@ -350,13 +352,14 @@ def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
     layout. Routing decisions are static Python made once at trace time and
     identical on every shard.
 
-    Checkpoint/resume over the mesh rides the FUSED single-launch engine:
-    its state is entirely per-lane (including ``k`` — each lane tile exits
-    at its own burst boundary), so shards evolve independently under one
-    SPMD program. The other engines carry a SCALAR iteration counter that
-    sizes a static burst schedule on the host — per-shard counters would
-    need per-shard programs, so mesh state on those engines raises with a
-    pointer to per-shard single-chip checkpointing."""
+    Checkpoint/resume over the mesh rides the per-lane-k engines (the
+    FUSED single-launch kernel; the RESIDENT manual-DMA engine in the wide
+    window): their state is entirely per-lane (including ``k`` — each lane
+    tile exits at its own burst boundary), so shards evolve independently
+    under one SPMD program. The other engines carry a SCALAR iteration
+    counter that sizes a static burst schedule on the host — per-shard
+    counters would need per-shard programs, so mesh state on those engines
+    raises with a pointer to per-shard single-chip checkpointing."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -375,36 +378,55 @@ def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
     a2 = jnp.broadcast_to(jnp.asarray(alpha2, dtype), (B_orig,))
 
     want_state = (state0 is not None) or return_state
+    state_engine = None
     if want_state:
-        from ..kernels import FusedSolveState
+        from ..kernels import FusedSolveState, ResidentSolveState
         from ..kernels.fused_solve import _check_fused_cfg, auto_tiles_fused
+        from ..kernels.fista_vmem import plan_gram_solve
 
         if backend not in ("auto", "kernel"):
-            # the mesh state path IS the fused Pallas engine; honoring
+            # the mesh state path IS a per-lane-k Pallas engine; honoring
             # backend='xla' here is impossible — refuse rather than
             # silently overriding the user's forced driver
             raise NotImplementedError(
-                f"mesh checkpoint/resume rides the fused kernel engine "
-                f"(per-lane k); it cannot honor backend={backend!r} — drop "
-                "the mesh or the backend forcing"
+                f"mesh checkpoint/resume rides the per-lane-k kernel "
+                f"engines; it cannot honor backend={backend!r} — drop the "
+                "mesh or the backend forcing"
             )
-        if state0 is not None and not isinstance(state0, FusedSolveState):
-            raise NotImplementedError(
-                f"mesh-routed resume carries only FusedSolveState (per-lane "
-                f"k); got {type(state0).__name__} — resume it per shard "
-                "through the single-chip surface"
-            )
+        # pick the per-lane-k engine this config/shape lands on: fused
+        # single-launch first (the routed preference), the resident
+        # manual-DMA engine in the wide window; the scalar-k engines
+        # (qstream, driver) cannot vary their host-sized schedules per
+        # shard, so past-window configs refuse
         try:
-            # the mesh state path must land on the fused engine on every
-            # shard; surface its guard's reason if it cannot
             _kernel_route(n, cfg, "kernel", interpret)
-            _check_fused_cfg(cfg)
-            auto_tiles_fused(n, m)
+            try:
+                _check_fused_cfg(cfg)
+                auto_tiles_fused(n, m)
+                state_engine = "fused"
+            except (ValueError, NotImplementedError):
+                if plan_gram_solve(n, cfg)[0] != "resident":
+                    raise NotImplementedError(
+                        "this configuration lands on a scalar-k engine "
+                        "(qstream/driver), whose host-sized burst schedule "
+                        "cannot differ per shard"
+                    )
+                state_engine = "resident"
         except (ValueError, NotImplementedError) as e:
             raise NotImplementedError(
-                "mesh-routed checkpoint/resume needs the fused single-launch "
-                f"engine (per-lane k); this configuration cannot run it: {e}"
+                "mesh-routed checkpoint/resume needs a per-lane-k engine "
+                f"(fused single-launch, or resident in the wide window); "
+                f"this configuration cannot run one: {e}"
             ) from e
+        want_type = (FusedSolveState if state_engine == "fused"
+                     else ResidentSolveState)
+        if state0 is not None and not isinstance(state0, want_type):
+            raise NotImplementedError(
+                f"mesh-routed resume for this configuration rides the "
+                f"{state_engine} engine and carries {want_type.__name__}; "
+                f"got {type(state0).__name__} — resume it per shard through "
+                "the single-chip surface"
+            )
 
     quantum = 128 * n_dev  # each shard a whole number of 128-lane tiles
     pB = (-B_orig) % quantum
@@ -424,10 +446,19 @@ def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
         # the original tiles — which would silently misindex k.
         import numpy as _np
 
-        from ..kernels.fused_solve import auto_tiles_fused as _atf
-
         Bl = (B_orig + pB) // n_dev
-        bt_shard = min(_atf(n, m)[0], -(-Bl // 128) * 128)
+        if state_engine == "fused":
+            from ..kernels.fused_solve import auto_tiles_fused as _atf
+
+            auto_bt = _atf(n, m)[0]
+        else:
+            from ..kernels.fista_vmem import SUBLANE, _round_up
+            from ..kernels.resident import auto_b_tile_resident
+
+            auto_bt = auto_b_tile_resident(
+                _round_up(max(n, SUBLANE), SUBLANE)
+            )
+        bt_shard = min(auto_bt, -(-Bl // 128) * 128)
         kh = _np.asarray(jax.device_get(state0.k))
         for d in range(n_dev):
             for s0 in range(d * Bl, (d + 1) * Bl, bt_shard):
@@ -452,13 +483,28 @@ def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
         )
 
     def local(A_blk, b_blk, a1_blk, a2_blk, *st_blks):
-        if want_state:
+        if want_state and state_engine == "fused":
             from ..kernels import FusedSolveState
             from ..kernels.fused_solve import solve_lasso_fused
 
             st = FusedSolveState(*st_blks) if st_blks else None
             res, fin = solve_lasso_fused(
                 A_blk, b_blk, a1_blk, a2_blk, cfg=cfg, interpret=interpret,
+                state0=st, return_state=True,
+            )
+        elif want_state:
+            # resident engine: build the shard's Gram exactly like the
+            # fresh routed path (same einsums, no power loop) and estimate
+            # L in-kernel — identical floats to the mesh fresh solve
+            from ..kernels import ResidentSolveState, fista_gram_resident
+
+            st = ResidentSolveState(*st_blks) if st_blks else None
+            gb_blk = _build_gram_routed(
+                A_blk, b_blk, a1_blk, a2_blk, True, key, interpret,
+                use_kernel=True, estimate_l=False,
+            )
+            res, fin = fista_gram_resident(
+                gb_blk, cfg, interpret=interpret, est_l_iters=96,
                 state0=st, return_state=True,
             )
         else:
@@ -499,7 +545,7 @@ def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
         dev(A_fm, P(None, None, axis)), dev(b_fm, P(None, axis)),
         dev(a1, vec), dev(a2, vec), *st_dev,
     )
-    from ..kernels import FusedSolveState
+    from ..kernels import FusedSolveState, ResidentSolveState
     from .fista_gram import BatchResult
 
     x, iters, gap, converged, failed = out[:5]
@@ -515,7 +561,9 @@ def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
     if not want_state:
         return result
     Xf, Yf, tf, psf, tvf, kf, df, itf, gf = out[5:]
-    fin = FusedSolveState(
+    state_cls = (FusedSolveState if state_engine == "fused"
+                 else ResidentSolveState)
+    fin = state_cls(
         X=Xf[:, sl], Y=Yf[:, sl], t=tf[:, sl], ps=psf[:, sl],
         tau=tvf[:, sl], k=kf[sl], done=df[sl], iters=itf[sl], gap=gf[sl],
     )

@@ -70,8 +70,8 @@ def test_mesh_routed_driver_backend_and_guards():
     with pytest.raises(ValueError, match="backend='kernel'"):
         solve_lasso_batch(Afm, bfm, a1, cfg=cfg, feature_major=True,
                           mesh=mesh, backend="kernel")  # not on TPU
-    # mesh state rides the fused engine only (per-lane k); other state
-    # types refuse with a pointer to per-shard checkpointing
+    # mesh state rides the per-lane-k engines (fused here at n=5); other
+    # state types refuse with a pointer to per-shard checkpointing
     from fastoptsolver_tpu.batch.fista_gram import (
         init_batch_state,
         make_gram_batch,
@@ -215,3 +215,44 @@ def test_mesh_resume_rejects_checkpoint_cut_under_other_grouping():
     with pytest.raises(ValueError, match="not uniform"):
         solve_lasso_batch(Afm, bfm, a1, cfg=full, feature_major=True,
                           interpret=True, mesh=mesh, state0=mid)
+
+
+def test_mesh_routed_resume_wide_n_resident():
+    """Mesh checkpoint/resume in the WIDE window rides the resident engine
+    (per-lane k like the fused kernel): cut + resume over the mesh equals
+    the straight mesh run; a scalar-k configuration (past-window n) still
+    refuses."""
+    import dataclasses
+
+    import pytest
+
+    from fastoptsolver_tpu.kernels import ResidentSolveState
+    from fastoptsolver_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(13)
+    n, m, B = 144, 200, 256
+    Afm = jnp.asarray(rng.normal(size=(n, m, B)) / np.sqrt(n), jnp.float32)
+    xt = np.zeros((n, B), np.float32)
+    xt[: n // 8] = rng.normal(size=(n // 8, B))
+    bfm = jnp.einsum("nmb,nb->mb", Afm, jnp.asarray(xt))
+    a1 = 0.1 * jnp.max(jnp.abs(jnp.einsum("nmb,mb->nb", Afm, bfm)), axis=0)
+    mesh = make_mesh(batch=8, model=1)
+    full = BatchFISTAConfig(max_iter=300, check_every=25, rel_gap_tol=5e-6)
+    half = dataclasses.replace(full, max_iter=75)
+    straight = solve_lasso_batch(Afm, bfm, a1, cfg=full, feature_major=True,
+                                 interpret=True, mesh=mesh)
+    _, mid = solve_lasso_batch(Afm, bfm, a1, cfg=half, feature_major=True,
+                               interpret=True, mesh=mesh, return_state=True)
+    assert isinstance(mid, ResidentSolveState)
+    resumed = solve_lasso_batch(Afm, bfm, a1, cfg=full, feature_major=True,
+                                interpret=True, mesh=mesh, state0=mid)
+    np.testing.assert_array_equal(np.asarray(resumed.x),
+                                  np.asarray(straight.x))
+    # past the window the engines are scalar-k: mesh state refuses
+    rng2 = np.random.default_rng(14)
+    n2 = 200
+    Af2 = jnp.asarray(rng2.normal(size=(n2, 64, 256)) / 14.0, jnp.float32)
+    bf2 = jnp.asarray(rng2.normal(size=(64, 256)), jnp.float32)
+    with pytest.raises(NotImplementedError, match="scalar-k"):
+        solve_lasso_batch(Af2, bf2, 0.3, cfg=full, feature_major=True,
+                          interpret=True, mesh=mesh, return_state=True)
