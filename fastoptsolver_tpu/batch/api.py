@@ -306,7 +306,7 @@ def solve_lasso_batch(
                                      interpret=interpret,
                                      return_state=return_state)
 
-    # Resident mid-range engine (round 5, 104 < n ≲ 160): build WITHOUT the
+    # Resident mid-range engine (round 5, 104 < n ≤ 168): build WITHOUT the
     # XLA power loop (it re-reads the wide Gram from HBM every step —
     # measured ~75% of the build stage) and estimate L in-kernel against
     # the resident block instead.

@@ -526,6 +526,26 @@ def run() -> dict:
 
     check("resident_armijo_resume", _resident_armijo_resume)
 
+    # 8f. the resident window BOUNDARY: n=168 is the probe-calibrated Mosaic
+    # ceiling (n=176 overflows scoped VMEM) — this check keeps the
+    # auto_b_tile_resident budget honest against compiler changes.
+    Ab8, bb8, ab8, gb8 = _wide_problem(168)
+    assert plan_gram_solve(168, cfg_res)[0] == "resident"
+    res_b8 = fista_gram_resident(
+        gb8, BatchFISTAConfig(max_iter=800, check_every=50, rel_gap_tol=5e-6),
+        interpret=False,
+    )
+
+    def _resident_ceiling():
+        gap_b8, _ = _f64_gap_obj(Ab8, bb8, ab8, res_b8.x)
+        conv = np.asarray(res_b8.converged)
+        assert conv.mean() > 0.9, f"boundary conv {conv.mean():.2f}"
+        assert gap_b8[conv].max() <= 4 * 5e-6, (
+            f"boundary f64 gap {gap_b8[conv].max():.2e}"
+        )
+
+    check("resident_ceiling_n168", _resident_ceiling)
+
     # 9. shard_map × Mosaic: sharded kernel, interpret=False, 1-device mesh
     from ..kernels import fista_gram_vmem_sharded
     from ..parallel import BATCH_AXIS, make_mesh

@@ -512,7 +512,7 @@ def plan_gram_solve(n: int, cfg: BatchFISTAConfig) -> tuple[str, int, int]:
     - ``("vmem", b_tile, 0)`` while the double-buffered Q tile fits the
       burst kernel (n ≲ 104; 49× the XLA driver at n=96);
     - ``("resident", b_tile, 0)`` for the single-buffered manual-DMA window
-      (n ≲ 160, certified configs — kernels/resident.py; Q read once per
+      (n ≤ 168, certified configs — kernels/resident.py; Q read once per
       SOLVE, 13.7× the streaming engine at n=144, every momentum mode incl.
       armijo);
     - ``("qstream", b_tile, g_planes)`` beyond (kernels/qstream.py — Q
@@ -536,7 +536,7 @@ def plan_gram_solve(n: int, cfg: BatchFISTAConfig) -> tuple[str, int, int]:
                 pass
         if cfg.backtracking:
             raise NotImplementedError(
-                "past the single-buffered resident window (~160 features, "
+                "past the single-buffered resident window (~168 features, "
                 "certified configs) the armijo search would need a "
                 "data-dependent number of Q streams per iteration; this "
                 "configuration runs on the XLA driver "

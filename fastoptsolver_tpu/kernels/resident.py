@@ -5,7 +5,7 @@ Between the burst kernel's double-buffered ceiling (n ≈ 104 — Pallas
 allocates TWO copies of every BlockSpec'd input, so half of VMEM is gone
 before the solve starts) and the streaming regime (kernels/qstream.py,
 which re-reads Q every iteration) there is a window, roughly
-104 < n ≤ 160, where a lane tile's whole Gram block FITS in VMEM
+104 < n ≤ 168 (probe-calibrated on chip), where a lane tile's whole Gram block FITS in VMEM
 single-buffered. This kernel claims it: Q stays in HBM
 (``memory_space=ANY``) and each grid step copies ITS tile's
 (n_pad, n_pad, b_tile) block into a VMEM scratch with ONE explicit
@@ -64,16 +64,19 @@ from .fista_vmem import (
 
 
 def auto_b_tile_resident(n_pad: int,
-                         vmem_budget_bytes: int = 14 * 1024 * 1024) -> int:
+                         vmem_budget_bytes: int = 15 * 1024 * 1024) -> int:
     """Lane tile for the single-buffered resident block. The scratch block
     plus ~6 live (n_pad, b_tile) planes of solve state must fit; raises
-    outside the window (n_pad ≳ 160) — the streaming kernel takes over."""
+    outside the window — the streaming kernel takes over. The budget is
+    probe-calibrated on chip (round 5): n_pad=168 Mosaic-compiles and
+    certifies, n_pad=176 overflows scoped VMEM, so the window is exactly
+    n ≤ 168."""
     bt = LANE
     need = (n_pad * n_pad + 8 * n_pad + 4 * SUBLANE) * bt * 4
     if need > vmem_budget_bytes:
         raise ValueError(
             f"resident kernel: n_pad={n_pad} needs {need / 2**20:.1f} MiB "
-            "single-buffered — past the ~160-feature window; the Q-streaming "
+            "single-buffered — past the probe-calibrated 168-feature window; the Q-streaming "
             "kernel (kernels/qstream.py) covers wider problems."
         )
     return bt
@@ -283,7 +286,7 @@ def fista_gram_resident(
 ):
     """Certified solve with Q copied ONCE per lane tile into VMEM (manual
     DMA) and the whole certification loop in-kernel — the mid-range wide-n
-    engine (104 ≲ n ≲ 160). Every in-kernel momentum mode runs here,
+    engine (104 < n ≤ 168, probe-calibrated). Every in-kernel momentum mode runs here,
     including Armijo backtracking. ``state0``/``return_state`` follow the
     fused engine's semantics (per-lane k; resume must keep the tile
     grouping that produced the checkpoint).
