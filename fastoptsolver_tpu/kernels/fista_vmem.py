@@ -584,11 +584,17 @@ def fista_gram_vmem(
 ):
     """Solve the batch with VMEM-resident kernel bursts, entirely on device.
 
-    Past the resident VMEM ceiling (n ≈ 104) the SAME certified driver runs
-    the Q-streaming burst engine instead (kernels/qstream.py, round 5):
-    ``plan_gram_solve`` picks the engine, so one entry point covers every
-    feature count the kernels support — resume, early exit, and failure
-    quarantine behave identically on both engines.
+    Past the burst kernel's double-buffered ceiling (n ≈ 104) this entry
+    point still covers every feature count the kernels support
+    (``plan_gram_solve`` picks, round 5): certified configs in the
+    single-DMA window (n ≤ 168) DELEGATE to the resident engine
+    (kernels/resident.py — whole solve per tile, per-lane-k
+    ``ResidentSolveState``), and wider problems run the Q-streaming burst
+    engine (kernels/qstream.py) under the SAME certified driver as the
+    resident-burst path — resume, early exit, and failure quarantine behave
+    identically there. A ``VmemSolveState`` checkpoint in the window pins
+    the qstream engine (the state type records the engine that produced
+    it).
 
     ``cfg.check_every > 0``: bursts of that many iterations with an on-device
     duality-gap certification between bursts, early-exiting when every
