@@ -151,3 +151,23 @@ def test_routed_resident_estimates_l_in_kernel():
     resumed = solve_lasso_batch(A, b, a1, cfg=cfg, interpret=True,
                                 state0=mid)
     np.testing.assert_array_equal(np.asarray(resumed.x), np.asarray(res.x))
+
+
+def test_resident_and_qstream_elastic_net():
+    """alpha2 > 0 (elastic net — the smooth fold + plain prox_l1, reference
+    iterative_solvers.py:166-167) through both wide-n engines."""
+    rng = np.random.default_rng(21)
+    for n in (144, 200):  # resident window, then qstream
+        B, m = 140, 2 * n
+        A = jnp.asarray(rng.normal(size=(B, m, n)) / np.sqrt(n), jnp.float32)
+        xt = np.zeros((B, n), np.float32)
+        xt[:, : n // 8] = rng.normal(size=(B, n // 8))
+        b = jnp.einsum("bmn,bn->bm", A, jnp.asarray(xt))
+        a1 = 0.05 * jnp.max(jnp.abs(jnp.einsum("bmi,bm->bi", A, b)), axis=1)
+        gb = make_gram_batch(A, b, a1, 0.3)
+        cfg = BatchFISTAConfig(max_iter=600, check_every=25, rel_gap_tol=5e-6)
+        ref = fista_gram_batch(gb, cfg)
+        got = fista_gram_vmem(gb, cfg, interpret=True)  # plan routes
+        assert bool(np.asarray(got.converged).all()), n
+        np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                                   rtol=2e-4, atol=2e-5, err_msg=str(n))
