@@ -103,10 +103,10 @@ def solve_gram_batch(gb, cfg=None, backend: str = "auto",
 
     ``est_l_iters``: forwarded to the resident engine — REQUIRED when
     resuming a ``ResidentSolveState`` whose run estimated L in-kernel
-    (``solve_lasso_batch`` uses 96; τ derives from that estimate, so a
-    mismatched mode silently changes the trajectory). A ``gb`` built with
-    ``estimate_l=False`` carries an L sentinel and refuses to resume
-    without it."""
+    (``solve_lasso_batch`` uses ``_RESIDENT_EST_L_ITERS`` = 96; τ derives
+    from that estimate, so a mismatched mode silently changes the
+    trajectory). A ``gb`` built with ``estimate_l=False`` carries an L
+    sentinel and refuses to resume without it."""
     from .fista_gram import BatchFISTAConfig, BatchState, fista_gram_batch
 
     if cfg is None:
@@ -233,9 +233,10 @@ def solve_lasso_batch(
     ``return_state``).
 
     ``state0``/``return_state`` (round 5): checkpoint/resume through THIS
-    routed surface, on whichever engine the router picked. The three engines
+    routed surface, on whichever engine the router picked. The engines
     carry distinct state types — ``kernels.FusedSolveState`` (single-launch
-    fused), ``kernels.VmemSolveState`` (two-kernel burst path), and
+    fused), ``kernels.ResidentSolveState`` (the wide-window manual-DMA
+    engine), ``kernels.VmemSolveState`` (burst/qstream path), and
     ``batch.fista_gram.BatchState`` (XLA driver) — and a non-None ``state0``
     PINS the route to the engine that produced it: a checkpoint must resume
     on the engine whose trajectory it holds (the engines' Lipschitz
@@ -314,14 +315,9 @@ def solve_lasso_batch(
         from ..kernels.fista_vmem import plan_gram_solve
 
         if plan_gram_solve(n, cfg)[0] == "resident":
-            from ..kernels import fista_gram_resident
-
-            gb = _build_gram_routed(A, b, alpha1, alpha2, feature_major,
-                                    key, interpret, use_kernel,
-                                    estimate_l=False)
-            return fista_gram_resident(gb, cfg, interpret=interpret,
-                                       est_l_iters=96,
-                                       return_state=return_state)
+            return _solve_resident_routed(A, b, alpha1, alpha2, cfg,
+                                          feature_major, key, interpret,
+                                          return_state=return_state)
 
     # Gram build: the fused one-pass kernel is generic over n (round 4) up
     # to its own VMEM ceiling (~90 features; _auto_tiles raises beyond);
@@ -408,8 +404,9 @@ def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
                 if plan_gram_solve(n, cfg)[0] != "resident":
                     raise NotImplementedError(
                         "this configuration lands on a scalar-k engine "
-                        "(qstream/driver), whose host-sized burst schedule "
-                        "cannot differ per shard"
+                        "(the vmem burst kernel, qstream, or the XLA "
+                        "driver), whose host-sized burst schedule cannot "
+                        "differ per shard"
                     )
                 state_engine = "resident"
         except (ValueError, NotImplementedError) as e:
@@ -462,7 +459,11 @@ def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
         kh = _np.asarray(jax.device_get(state0.k))
         for d in range(n_dev):
             for s0 in range(d * Bl, (d + 1) * Bl, bt_shard):
-                seg = kh[s0:min(s0 + bt_shard, B_orig)]
+                # clamp to the SHARD end too: when bt_shard doesn't divide
+                # Bl the shard's ragged last tile must not swallow the next
+                # shard's lanes (review r5 — that spuriously rejected
+                # same-layout checkpoints with heterogeneous per-shard k)
+                seg = kh[s0:min(s0 + bt_shard, (d + 1) * Bl, B_orig)]
                 if seg.size and (seg != seg[0]).any():
                     raise ValueError(
                         f"state0.k is not uniform within this mesh's lane "
@@ -493,18 +494,14 @@ def _solve_lasso_batch_sharded(A, b, alpha1, alpha2, cfg, backend,
                 state0=st, return_state=True,
             )
         elif want_state:
-            # resident engine: build the shard's Gram exactly like the
-            # fresh routed path (same einsums, no power loop) and estimate
-            # L in-kernel — identical floats to the mesh fresh solve
-            from ..kernels import ResidentSolveState, fista_gram_resident
+            # resident engine, via the SAME shared recipe as the fresh
+            # routed path (no power loop, in-kernel L) — identical floats
+            # to the mesh fresh solve
+            from ..kernels import ResidentSolveState
 
             st = ResidentSolveState(*st_blks) if st_blks else None
-            gb_blk = _build_gram_routed(
-                A_blk, b_blk, a1_blk, a2_blk, True, key, interpret,
-                use_kernel=True, estimate_l=False,
-            )
-            res, fin = fista_gram_resident(
-                gb_blk, cfg, interpret=interpret, est_l_iters=96,
+            res, fin = _solve_resident_routed(
+                A_blk, b_blk, a1_blk, a2_blk, cfg, True, key, interpret,
                 state0=st, return_state=True,
             )
         else:
@@ -586,17 +583,14 @@ def _resume_lasso_batch(A, b, alpha1, alpha2, cfg, backend, feature_major,
                 "state0 is a ResidentSolveState; it cannot resume on "
                 "backend='xla'"
             )
-        from ..kernels import fista_gram_resident
-
         _kernel_route(n, cfg, "kernel", interpret)
-        # mirror the fresh path exactly: skip the XLA power loop and use
-        # the same in-kernel L estimate the checkpointed run derived τ from
-        gb = _build_gram_routed(A, b, alpha1, alpha2, feature_major, key,
-                                interpret, use_kernel=True,
-                                estimate_l=False)
-        return fista_gram_resident(gb, cfg, interpret=interpret,
-                                   est_l_iters=96,
-                                   state0=state0, return_state=return_state)
+        # mirror the fresh path exactly (shared helper): skip the XLA power
+        # loop and use the same in-kernel L estimate the checkpointed run
+        # derived τ from
+        return _solve_resident_routed(A, b, alpha1, alpha2, cfg,
+                                      feature_major, key, interpret,
+                                      state0=state0,
+                                      return_state=return_state)
     if isinstance(state0, FusedSolveState):
         if backend == "xla":
             raise ValueError(
@@ -641,6 +635,30 @@ def _resume_lasso_batch(A, b, alpha1, alpha2, cfg, backend, feature_major,
         f"state0 must be a FusedSolveState, ResidentSolveState, "
         f"VmemSolveState, or BatchState; got {type(state0).__name__}"
     )
+
+
+# In-kernel Lipschitz depth for the resident engine, used by EVERY routed
+# surface (fresh, resume, mesh local): a resumed trajectory's τ derives
+# from this estimate, so the value must be identical at checkpoint and
+# resume time — change it here or nowhere.
+_RESIDENT_EST_L_ITERS = 96
+
+
+def _solve_resident_routed(A, b, alpha1, alpha2, cfg, feature_major, key,
+                           interpret, state0=None, return_state=False):
+    """The resident-window recipe shared by the fresh route, the resume
+    dispatch, and the mesh per-shard local: build the Gram WITHOUT the XLA
+    power loop (it re-reads the wide Gram from HBM every step) and estimate
+    L in-kernel against the resident block. One implementation so all three
+    call sites produce identical floats — the bit-exact resume contract
+    depends on it."""
+    from ..kernels import fista_gram_resident
+
+    gb = _build_gram_routed(A, b, alpha1, alpha2, feature_major, key,
+                            interpret, use_kernel=True, estimate_l=False)
+    return fista_gram_resident(gb, cfg, interpret=interpret,
+                               est_l_iters=_RESIDENT_EST_L_ITERS,
+                               state0=state0, return_state=return_state)
 
 
 def _build_gram_routed(A, b, alpha1, alpha2, feature_major, key, interpret,

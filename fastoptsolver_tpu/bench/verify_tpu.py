@@ -528,17 +528,26 @@ def run() -> dict:
 
     # 8f. the resident window BOUNDARY: n=168 is the probe-calibrated Mosaic
     # ceiling (n=176 overflows scoped VMEM) — this check keeps the
-    # auto_b_tile_resident budget honest against compiler changes.
-    Ab8, bb8, ab8, gb8 = _wide_problem(168)
-    assert plan_gram_solve(168, cfg_res)[0] == "resident"
-    res_b8 = fista_gram_resident(
-        gb8, BatchFISTAConfig(max_iter=800, check_every=50, rel_gap_tol=5e-6),
-        interpret=False,
-    )
-
+    # auto_b_tile_resident budget honest against compiler changes. The
+    # solve runs INSIDE the check body: the regression it guards is a
+    # Mosaic lowering failure, which must record as a FAIL in the report,
+    # not abort the run before the remaining checks (review r5).
     def _resident_ceiling():
+        Ab8, bb8, ab8, gb8 = _wide_problem(168)
+        assert plan_gram_solve(168, cfg_res)[0] == "resident"
+        try:
+            res_b8 = fista_gram_resident(
+                gb8,
+                BatchFISTAConfig(max_iter=800, check_every=50,
+                                 rel_gap_tol=5e-6),
+                interpret=False,
+            )
+            conv = np.asarray(res_b8.converged)
+        except Exception as e:  # compile/lowering failure IS the regression
+            raise AssertionError(
+                f"n=168 no longer Mosaic-compiles: {str(e)[:200]}"
+            ) from e
         gap_b8, _ = _f64_gap_obj(Ab8, bb8, ab8, res_b8.x)
-        conv = np.asarray(res_b8.converged)
         assert conv.mean() > 0.9, f"boundary conv {conv.mean():.2f}"
         assert gap_b8[conv].max() <= 4 * 5e-6, (
             f"boundary f64 gap {gap_b8[conv].max():.2e}"

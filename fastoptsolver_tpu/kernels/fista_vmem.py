@@ -536,10 +536,11 @@ def plan_gram_solve(n: int, cfg: BatchFISTAConfig) -> tuple[str, int, int]:
                 pass
         if cfg.backtracking:
             raise NotImplementedError(
-                "past the single-buffered resident window (~168 features, "
-                "certified configs) the armijo search would need a "
-                "data-dependent number of Q streams per iteration; this "
-                "configuration runs on the XLA driver "
+                "at this width the armijo search needs the resident engine "
+                "(a VMEM-resident Q for its data-dependent trial matvecs), "
+                "which covers n ≤ 168 for CERTIFIED configs "
+                "(check_every > 0); past the window — or with "
+                "check_every <= 0 — backtracking runs on the XLA driver "
                 "(batch.fista_gram.fista_gram_batch)"
             ) from vmem_err
         from .qstream import auto_tiles_qstream
