@@ -91,7 +91,7 @@ def _qstream_tile_kernel(beta_ref, k0_ref, Qb_ref, c_ref, tau_ref, thr_ref,
                          a2_ref, a1_ref, btb_ref, X_ref, Y_ref, *rest,
                          n_pad: int, g_planes: int, n_steps: int,
                          with_gap: bool, restart_threshold,
-                         greedy, n_true: int):
+                         greedy):
     """One (i, s, j) grid point: accumulate plane group ``j`` of the Gram
     matvec for iteration step ``s`` of lane tile ``i``; on a step's last
     group apply the FISTA update; on the extra gap step emit outputs.
@@ -255,7 +255,6 @@ def qstream_burst(betas, k0, Q, c, tau, thr, a2, a1, btb, X, Y, t, ps,
         _qstream_tile_kernel, n_pad=n_pad, g_planes=g_planes,
         n_steps=n_steps, with_gap=with_gap,
         restart_threshold=restart_threshold, greedy=greedy,
-        n_true=n_pad if n_true is None else n_true,
     )
     vec = lambda r: pl.BlockSpec(
         (r, b_tile), lambda i, s, j, *pf: (0, i), memory_space=pltpu.VMEM
