@@ -285,9 +285,9 @@ def solve_lasso_batch(
 
     # Preferred kernel path: the single-launch fused build+solve kernel
     # (kernels/fused_solve.py — the Gram never exists in HBM, no per-burst
-    # launches). All momentum modes incl. adaptive restart and greedy run
-    # there (backtracking stays XLA-driver-only); its own guards decide, so
-    # routing cannot drift.
+    # launches). Every momentum mode runs there, incl. adaptive restart,
+    # greedy, and (round 5) Armijo backtracking on the plain variant; its
+    # own guards decide, so routing cannot drift.
     if use_kernel:
         from ..kernels.fused_solve import (
             _check_fused_cfg,

@@ -229,7 +229,7 @@ def _run_resident(betas, Q, c, btb, alpha1, alpha2, L, state0=None, *,
         num_scalar_prefetch=1,  # betas
         grid=(B // b_tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # Q stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # Q stays in HBM
             vec(n_pad),  # c
             vec(1), vec(1), vec(1), vec(1), vec(1), vec(1),
             *state_in_specs,
