@@ -279,3 +279,61 @@ def test_routed_surface_runs_armijo_on_kernel():
     np.testing.assert_allclose(
         np.asarray(res.x), np.asarray(ref.x), rtol=1e-5, atol=1e-6
     )
+
+
+def test_wide_n_armijo_stall_matches_reference_oracle():
+    """Wide-n finding (RESULTS.md round 5): on the wide-n bench scenarios
+    the reference's armijo recurrence stalls OUTRIGHT — the C·gradᵀΔ accept
+    test at this conditioning collapses the never-growing per-lane τ — while
+    fixed-step FISTA certifies on the same instances. Pinned here against
+    the independent NumPy oracle of the reference recurrence (f64), so the
+    measured converged=0 rows in bench/wide_n.py --backtracking are the
+    recurrence's own behavior, not a framework defect."""
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from oracle_np import fista_np
+
+    from fastoptsolver_tpu.bench.wide_n import _build_problems
+
+    B, m, n, iters = 8, 256, 128, 400
+    A, b, a1 = _build_problems(jax.random.PRNGKey(0), B, m, n)
+
+    def relgap64(Ai, bi, alpha, x):
+        r = Ai @ x - bi
+        g = Ai.T @ r
+        s = max(1.0, np.max(np.abs(g)) / alpha)
+        u = r / s
+        primal = 0.5 * r @ r + alpha * np.sum(np.abs(x))
+        dual = -0.5 * u @ u - u @ bi
+        return (primal - dual) / max(1.0, abs(primal))
+
+    # oracle, one instance, f64: armijo stalls where fixed-step certifies
+    Ai = np.asarray(A[0], np.float64)
+    bi = np.asarray(b[0], np.float64)
+    alpha = float(a1[0])
+    L = float(np.linalg.eigvalsh(Ai.T @ Ai)[-1])
+    x_bt, _ = fista_np(Ai, bi, alpha, 0.0, L, backtracking=True,
+                       max_iter=iters)
+    x_fx, _ = fista_np(Ai, bi, alpha, 0.0, L, backtracking=False,
+                       max_iter=iters)
+    g_bt = relgap64(Ai, bi, alpha, x_bt)
+    g_fx = relgap64(Ai, bi, alpha, x_fx)
+    assert g_bt > 0.05, g_bt       # stalled far from optimal
+    assert g_fx < 1e-3, g_fx       # same instance, fixed step: certified
+
+    # the driver reproduces the stall on the full batch (qualitative pin:
+    # the trajectory itself is chaotic at accept/reject boundaries — see
+    # test_armijo_chaos_is_intrinsic_not_kernel_error)
+    gb = make_gram_batch(A, b, a1, 0.0)
+    cfg = BatchFISTAConfig(max_iter=iters, check_every=50,
+                           rel_gap_tol=1e-4, backtracking=True)
+    res = fista_gram_batch(gb, cfg)
+    assert int(jnp.sum(res.converged)) == 0
+    assert float(jnp.median(res.rel_gap)) > 0.05
+    cfg_fx = dataclasses.replace(cfg, backtracking=False)
+    res_fx = fista_gram_batch(gb, cfg_fx)
+    assert int(jnp.sum(res_fx.converged)) == B
