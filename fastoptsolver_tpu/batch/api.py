@@ -80,19 +80,22 @@ def solve_gram_batch(gb, cfg=None, backend: str = "auto",
     """Route a prebuilt ``GramBatch`` to its fastest supported solver.
 
     ``"auto"``: the certified Pallas path (kernels/fista_vmem.fista_gram_vmem
-    — the VMEM-resident burst engine to n ≈ 104, the Q-streaming burst
-    engine beyond it; ``plan_gram_solve`` picks) when on TPU (or
-    ``interpret``) and the config passes the kernels' own entry guards
-    (every momentum mode runs in-kernel, and — round 5 — so does Armijo
-    backtracking up to the resident ceiling; wide-n armijo would need a
-    data-dependent number of Q streams, so it falls back); otherwise the
-    XLA driver (``fista_gram_batch``). Measured crossovers (bench/wide_n.py
-    on chip, RESULTS.md round 5): resident kernel ≈ 49× the driver at n=96;
-    qstream ≈ 3.3× at n=128 (742 GB/s effective Q stream vs the driver's
-    228 — the driver itself runs at 99% of the XLA read rate; its cost IS
-    the per-iteration Q traffic). ``"kernel"`` forces the Pallas path
-    (raises with the guard's reason if unsupported); ``"xla"`` forces the
-    driver.
+    — the VMEM-resident burst engine to n ≈ 104, the single-DMA RESIDENT
+    engine (kernels/resident.py) to the probe-calibrated n = 168, the
+    Q-streaming engine (kernels/qstream.py) beyond; ``plan_gram_solve``
+    picks) when on TPU (or ``interpret``) and the config passes the
+    kernels' own entry guards (every momentum mode runs in-kernel, and —
+    round 5 — so does Armijo backtracking up to the resident ceiling;
+    past-window armijo would need a data-dependent number of Q streams, so
+    it falls back). Otherwise the XLA driver (``fista_gram_batch``).
+    Measured crossovers (bench/wide_n.py on chip, RESULTS.md round 5):
+    burst kernel ≈ 47-49× the driver at n=96; resident ≈ 44-63× at
+    n=128-168 (armijo: 70-75× — its trial matvecs run against the VMEM
+    block); qstream ≈ 3.2-3.4× at n=256-512 (740-754 GB/s effective Q
+    stream vs the driver's ~230 — the driver itself runs at 90-137% of the
+    XLA read rate; its cost IS the per-iteration Q traffic model).
+    ``"kernel"`` forces the Pallas path (raises with the guard's reason if
+    unsupported); ``"xla"`` forces the driver.
 
     ``state0``/``return_state`` give checkpoint/resume through the routed
     surface. The paths carry different state types (``FusedSolveState`` /
@@ -218,12 +221,15 @@ def solve_lasso_batch(
       (kernels/gram_build.py — generic over n to its ~88-feature VMEM
       ceiling) when the kernel backend is selected; past the ceiling the
       XLA einsum precompute (``make_gram_batch``, ``Precision.HIGHEST``).
-    - **Solve**: the VMEM-resident certified kernel
-      (kernels/fista_vmem.fista_gram_vmem) when on TPU (or ``interpret``),
-      the padded feature count fits the ~104-feature VMEM ceiling
-      (``auto_b_tile``), and the config is kernel-supported (round 5: that
-      now includes Armijo backtracking); otherwise the XLA driver
-      (``fista_gram_batch`` — same math, HBM-streamed).
+    - **Solve**: the kernel engine ``plan_gram_solve`` picks when on TPU
+      (or ``interpret``) and the config is kernel-supported (round 5: that
+      includes Armijo backtracking to n = 168) — the VMEM-resident burst
+      kernel to n ≈ 104 (47-49× the driver measured at n=96), the
+      single-DMA resident engine to the probe-calibrated n = 168 (44-63×;
+      armijo 70-75×; L estimated in-kernel so the XLA power loop never
+      runs), the Q-streaming engine beyond (3.2-3.4× at n=256-512);
+      otherwise the XLA driver (``fista_gram_batch`` — same math,
+      HBM-streamed; the measured fallback for past-window armijo).
 
     ``backend``: ``"auto"`` (route as above), ``"kernel"`` (force the Pallas
     path; raises if unsupported), ``"xla"`` (force the driver).
