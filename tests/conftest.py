@@ -58,7 +58,7 @@ def pytest_collection_modifyitems(session, config, items):
     compiled ~265 programs (observed 2026-08-21; independent of the
     persistent cache, the axon plugin, and of WHICH test sits at that
     position — the victim program changes with ordering). The suite runs
-    under 4 xdist workers (pyproject addopts) so no process approaches the
+    under 5 xdist workers (pyproject addopts) so no process approaches the
     threshold; fronting the slow sweep fixture also helps xdist scheduling.
     """
     items.sort(key=lambda it: 0 if "test_sweep" in it.nodeid else 1)
