@@ -51,7 +51,7 @@ def rng():
 
 
 def pytest_collection_modifyitems(session, config, items):
-    """Run test_sweep (the compile-heaviest module) first.
+    """Run the compile-heaviest modules first.
 
     Background: this environment's XLA:CPU compiler reliably
     segfaults/aborts inside ``backend_compile_and_load`` once a process has
@@ -59,6 +59,19 @@ def pytest_collection_modifyitems(session, config, items):
     persistent cache, the axon plugin, and of WHICH test sits at that
     position — the victim program changes with ordering). The suite runs
     under 5 xdist workers (pyproject addopts) so no process approaches the
-    threshold; fronting the slow sweep fixture also helps xdist scheduling.
+    threshold, and the compile-heaviest modules are fronted so their
+    programs compile while each worker's in-process count is still low
+    (late in round 5, test_routed_mesh — wide-n engines × shard_map ×
+    interpret, the densest compile cluster — crashed its worker when suite
+    growth pushed it late in the schedule; the same test passes alone and
+    when fronted). Fronting the slow fixtures also helps xdist scheduling.
     """
-    items.sort(key=lambda it: 0 if "test_sweep" in it.nodeid else 1)
+    order = {"test_sweep": 0, "test_routed_mesh": 1}
+
+    def key(it):
+        for name, rank in order.items():
+            if name in it.nodeid:
+                return rank
+        return 2
+
+    items.sort(key=key)
